@@ -1,0 +1,274 @@
+"""Logistic-regression oracle: the sparse-linear-algebra heart.
+
+TPU-native re-design of /root/reference/optimizer/loss.py:179-383. Two
+layers:
+
+* a **functional core** of pure jitted module-level functions on the
+  ``DualSparse`` pytree (shared compile cache across oracle instances);
+  solvers thread the margin cache ``Ax`` through their state explicitly
+  instead of the reference's mutable memoization (loss.py:266-286);
+* a **class wrapper** with the reference's exact API surface — ``value``
+  (with running-best f_opt), ``gradient``, ``hessian``, ``hess_vec_prod``,
+  ``partial_gradient``/``partial_hessian``, ``mat_vec_product`` caching,
+  ``update_mat_vec_product``, ``reset`` — plus the smoothness constants.
+
+Math (loss.py:215-302):
+    f(x)  = mean((1-b) * Ax - logsig(Ax)) + l2/2 ||x||^2
+    g(x)  = A^T (sigma(Ax) - b) / n + l2 x
+    H(x)  = A^T diag(w) A / n + l2 I,   w = sigma(Ax) (1 - sigma(Ax))
+    Hv    = A^T (w * (A v)) / n + l2 v          (never materializes H)
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from krylov_crn_tpu.data.formats import DualSparse, build_dual
+from krylov_crn_tpu.data.libsvm import canonicalize_labels
+from krylov_crn_tpu.models.base import Oracle
+from krylov_crn_tpu.ops.coords import gather_columns_dense
+from krylov_crn_tpu.ops.math import logsig, sigmoid
+from krylov_crn_tpu.ops.spmv import hvp_sparse, rmatvec, row_sqnorms, spmv
+
+__all__ = ["LogisticRegression"]
+
+
+# ------------------------- functional core (jitted) -------------------------
+
+def _adt(x):
+    """Accumulation dtype: f64 when x64 is live, else the compute dtype."""
+    return jnp.float64 if jax.config.read("jax_enable_x64") else x.dtype
+
+
+@jax.jit
+def logreg_matvec(data: DualSparse, x):
+    return spmv(data, x)
+
+
+@functools.partial(jax.jit, static_argnames=("l2",))
+def logreg_value_from_margins(b, Ax, x, l2: float = 0.0):
+    adt = _adt(Ax)
+    terms = ((1.0 - b) * Ax - logsig(Ax)).astype(adt)
+    val = jnp.mean(terms)
+    if l2:
+        val = val + l2 / 2.0 * jnp.vdot(x.astype(adt), x.astype(adt))
+    return val
+
+
+@functools.partial(jax.jit, static_argnames=("l2",))
+def logreg_value(data: DualSparse, b, x, l2: float = 0.0):
+    Ax = spmv(data, x)
+    return logreg_value_from_margins(b, Ax, x, l2), Ax
+
+
+@functools.partial(jax.jit, static_argnames=("l2",))
+def logreg_gradient_from_margins(data: DualSparse, b, Ax, x, l2: float = 0.0):
+    residual = sigmoid(Ax) - b
+    g = rmatvec(data, residual) / data.n
+    if l2:
+        g = g + l2 * x
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("l2",))
+def logreg_gradient(data: DualSparse, b, x, l2: float = 0.0):
+    Ax = spmv(data, x)
+    return logreg_gradient_from_margins(data, b, Ax, x, l2), Ax
+
+
+def hessian_weights(Ax):
+    a = sigmoid(Ax)
+    return a * (1.0 - a)
+
+
+@functools.partial(jax.jit, static_argnames=("l2",))
+def logreg_hvp(data: DualSparse, Ax, v, l2: float = 0.0):
+    """Exact HVP from cached margins (two SpMVs; loss.py:289-302)."""
+    w = hessian_weights(Ax)
+    return hvp_sparse(data, w, v, l2=l2)
+
+
+@functools.partial(jax.jit, static_argnames=("l2",))
+def logreg_hessian_dense(data: DualSparse, Ax, l2: float = 0.0):
+    """Dense Hessian for the small-d "full" solver path (loss.py:249-255).
+    Requires the dense copy of A (DualSparse.dense)."""
+    if data.dense is None:
+        raise ValueError("dense Hessian requires DualSparse built with "
+                         "want_dense=True (small-d problems)")
+    w = hessian_weights(Ax)
+    H = (data.dense * w[:, None]).T @ data.dense / data.n
+    if l2:
+        H = H + l2 * jnp.eye(data.d, dtype=H.dtype)
+    return H
+
+
+@functools.partial(jax.jit, static_argnames=("l2", "k_pad"))
+def logreg_partials(data: DualSparse, b, Ax, x, I, l2: float = 0.0,
+                    k_pad: int | None = None):
+    """Coordinate-subspace gradient, Hessian, and column panel for SSCN.
+
+    Returns (g_I, H_I, B) where B = dense A[:, I]; one fused program:
+      g_I = B^T (sigma(Ax)-b)/n + l2 x_I        (loss.py:234-247)
+      H_I = B^T diag(w) B / n + l2 I_m          (loss.py:257-264)
+    """
+    B = gather_columns_dense(data, I, k_pad)
+    residual = sigmoid(Ax) - b
+    g = B.T @ residual / data.n
+    if l2:
+        g = g + l2 * jnp.take(x, I)
+    w = hessian_weights(Ax)
+    H = (B * w[:, None]).T @ B / data.n
+    if l2:
+        H = H + l2 * jnp.eye(I.shape[0], dtype=H.dtype)
+    return g, H, B
+
+
+# ------------------------------ class wrapper ------------------------------
+
+class LogisticRegression(Oracle):
+    """Reference-API logistic oracle over the TPU functional core."""
+
+    def __init__(self, A, b, store_mat_vec_prod=True, dtype=None,
+                 want_dense=None, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if dtype is None:
+            dtype = (np.float64 if jax.config.read("jax_enable_x64")
+                     else np.float32)
+        if isinstance(A, DualSparse):
+            self.data = A.astype(dtype) if A.a.vals.dtype != dtype else A
+        else:
+            self.data = build_dual(A, dtype=dtype, want_dense=want_dense)
+        b = canonicalize_labels(np.asarray(b))
+        self.b = jnp.asarray(b.astype(dtype))
+        self.n, self.dim = self.data.shape
+        self.store_mat_vec_prod = store_mat_vec_prod
+        self.reuse = False
+        self.x_last = None
+        self._mat_vec_prod = jnp.zeros(self.n, dtype)
+
+    # ---- margins cache (parity with loss.py:266-286) ----
+    def mat_vec_product(self, x):
+        x = jnp.asarray(x)
+        if self.store_mat_vec_prod and (
+            self.reuse or (self.x_last is not None and (
+                x is self.x_last or self.is_equal(x, self.x_last)))
+        ):
+            return self._mat_vec_prod
+        Ax = logreg_matvec(self.data, x)
+        if self.store_mat_vec_prod:
+            self._mat_vec_prod = Ax
+            self.x_last = x
+        return Ax
+
+    def update_mat_vec_product(self, Ax, delta, I):
+        """Incremental margin update Ax += A[:, I] @ delta (loss.py:279-281)."""
+        B = gather_columns_dense(self.data, jnp.asarray(I, jnp.int32))
+        self._mat_vec_prod = jnp.asarray(Ax) + B @ jnp.asarray(delta)
+        self.reuse = True
+
+    def reset(self):
+        self.reuse = False
+        self.x_last = None
+        self._mat_vec_prod = jnp.zeros(
+            self.n, self.data.a.vals.dtype
+        )
+
+    # ---- oracle surface ----
+    def _value(self, x):
+        x = jnp.asarray(x)
+        Ax = self.mat_vec_product(x)
+        return logreg_value_from_margins(self.b, Ax, x, l2=self.l2)
+
+    def gradient(self, x):
+        x = jnp.asarray(x)
+        Ax = self.mat_vec_product(x)
+        return logreg_gradient_from_margins(self.data, self.b, Ax, x,
+                                            l2=self.l2)
+
+    def hessian(self, x):
+        x = jnp.asarray(x)
+        Ax = self.mat_vec_product(x)
+        return logreg_hessian_dense(self.data, Ax, l2=self.l2)
+
+    def hess_vec_prod(self, x, v):
+        x = jnp.asarray(x)
+        Ax = self.mat_vec_product(x)
+        return logreg_hvp(self.data, Ax, jnp.asarray(v), l2=self.l2)
+
+    def partial_gradient(self, x, I):
+        x = jnp.asarray(x)
+        Ax = self.mat_vec_product(x)
+        g, _, _ = logreg_partials(self.data, self.b, Ax, x,
+                                  jnp.asarray(I, jnp.int32), l2=self.l2)
+        return g
+
+    def partial_hessian(self, x, I):
+        x = jnp.asarray(x)
+        Ax = self.mat_vec_product(x)
+        _, H, _ = logreg_partials(self.data, self.b, Ax, x,
+                                  jnp.asarray(I, jnp.int32), l2=self.l2)
+        return H
+
+    # ---- smoothness constants (loss.py:308-347) ----
+    @property
+    def smoothness(self):
+        if self._smoothness is None:
+            if self.dim > 20000 and self.n > 20000:
+                warnings.warn(
+                    "The matrix is too large to estimate the smoothness "
+                    "constant, so Frobenius estimate is used instead."
+                )
+                fro2 = float(jnp.sum(self.data.a.vals.astype(jnp.float32) ** 2))
+                self._smoothness = 0.25 * fro2 / self.n + self.l2
+            else:
+                smax = float(_sigma_max(self.data))
+                self._smoothness = 0.25 * smax**2 / self.n + self.l2
+        return self._smoothness
+
+    @property
+    def max_smoothness(self):
+        if self._max_smoothness is None:
+            mx = float(jnp.max(row_sqnorms(self.data.a)))
+            self._max_smoothness = 0.25 * mx + self.l2
+        return self._max_smoothness
+
+    @property
+    def average_smoothness(self):
+        if self._ave_smoothness is None:
+            av = float(jnp.mean(row_sqnorms(self.data.a)))
+            self._ave_smoothness = 0.25 * av + self.l2
+        return self._ave_smoothness
+
+    @property
+    def hessian_lipschitz(self):
+        if self._hessian_lipschitz is None:
+            a_max = float(jnp.sqrt(jnp.max(row_sqnorms(self.data.a))))
+            A_norm = (self.smoothness - self.l2) * 4
+            self._hessian_lipschitz = A_norm * a_max / (6 * np.sqrt(3))
+        return self._hessian_lipschitz
+
+    @staticmethod
+    def density(x):
+        x = np.asarray(x)
+        return 0.0 if x.size == 0 else float((x != 0).sum()) / x.size
+
+
+@jax.jit
+def _sigma_max(data: DualSparse, iters: int = 200):
+    """Largest singular value of A by power iteration on A^T A (replaces
+    scipy svds, loss.py:319)."""
+    d = data.d
+    v0 = jnp.full((d,), 1.0 / np.sqrt(d), data.a.vals.dtype)
+
+    def body(_, v):
+        u = spmv(data, v)
+        w = rmatvec(data, u)
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    return jnp.linalg.norm(spmv(data, v))
