@@ -72,9 +72,12 @@ def secular_newton(
     dt = theta.dtype
     M = jnp.asarray(M, dt)
     c2 = c * c
-    # strict lower bound for lam: H + lam I must be PD and lam = M||s|| >= 0
-    lo = jnp.maximum(jnp.asarray(0.0, dt), -jnp.min(theta)) + jnp.asarray(1e-30, dt)
-    lam0 = jnp.maximum(jnp.asarray(r0, dt), lo)
+    # lower bound for lam: H + lam I must be PD and lam = M||s|| >= 0.
+    # For indefinite H (lo > 0) start/stay strictly inside to avoid the
+    # pole at lam = -theta_min; for PSD H lo = 0 and this is inactive.
+    lo = jnp.maximum(jnp.asarray(0.0, dt), -jnp.min(theta))
+    lo_strict = jnp.where(lo > 0, lo + 1e-6 * (1.0 + lo), lo)
+    lam0 = jnp.maximum(jnp.asarray(r0, dt), lo_strict)
 
     def phi_and_grad(lam):
         denom = theta + lam
@@ -92,7 +95,9 @@ def secular_newton(
         lam, _, it = state
         phi, dphi = phi_and_grad(lam)
         step = phi / dphi
-        lam_new = jnp.maximum(lam - step, lo)
+        lam_new = lam - step
+        # bisection-style safeguard: never cross the pole
+        lam_new = jnp.where(lam_new <= lo, (lam + lo) / 2.0, lam_new)
         return (lam_new, lam_new - lam, it + 1)
 
     big = jnp.asarray(jnp.inf, dt)
