@@ -45,30 +45,46 @@ def _adt(x):
     return jnp.float64 if jax.config.read("jax_enable_x64") else x.dtype
 
 
+def data_mask(data):
+    """Row-validity mask for padded sharded layouts; None on single-chip."""
+    return getattr(data, "mask", None)
+
+
 @jax.jit
 def logreg_matvec(data: DualSparse, x):
     return spmv(data, x)
 
 
-@functools.partial(jax.jit, static_argnames=("l2",))
-def logreg_value_from_margins(b, Ax, x, l2: float = 0.0):
+@functools.partial(jax.jit, static_argnames=("l2", "n"))
+def logreg_value_from_margins(b, Ax, x, l2: float = 0.0, mask=None,
+                              n: int | None = None):
+    """f from cached margins. ``mask``/``n`` handle padded sharded rows
+    (padding would otherwise contribute -logsig(0) = log 2 each)."""
     adt = _adt(Ax)
     terms = ((1.0 - b) * Ax - logsig(Ax)).astype(adt)
-    val = jnp.mean(terms)
+    if mask is not None:
+        terms = terms * mask.astype(adt)
+    if n is None:
+        n = Ax.shape[0]
+    val = jnp.sum(terms) / n
     if l2:
         val = val + l2 / 2.0 * jnp.vdot(x.astype(adt), x.astype(adt))
     return val
 
 
 @functools.partial(jax.jit, static_argnames=("l2",))
-def logreg_value(data: DualSparse, b, x, l2: float = 0.0):
+def logreg_value(data, b, x, l2: float = 0.0):
     Ax = spmv(data, x)
-    return logreg_value_from_margins(b, Ax, x, l2), Ax
+    return logreg_value_from_margins(b, Ax, x, l2, mask=data_mask(data),
+                                     n=data.n), Ax
 
 
 @functools.partial(jax.jit, static_argnames=("l2",))
-def logreg_gradient_from_margins(data: DualSparse, b, Ax, x, l2: float = 0.0):
+def logreg_gradient_from_margins(data, b, Ax, x, l2: float = 0.0):
     residual = sigmoid(Ax) - b
+    mask = data_mask(data)
+    if mask is not None:
+        residual = residual * mask
     g = rmatvec(data, residual) / data.n
     if l2:
         g = g + l2 * x
@@ -76,20 +92,23 @@ def logreg_gradient_from_margins(data: DualSparse, b, Ax, x, l2: float = 0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("l2",))
-def logreg_gradient(data: DualSparse, b, x, l2: float = 0.0):
+def logreg_gradient(data, b, x, l2: float = 0.0):
     Ax = spmv(data, x)
     return logreg_gradient_from_margins(data, b, Ax, x, l2), Ax
 
 
-def hessian_weights(Ax):
+def hessian_weights(Ax, mask=None):
     a = sigmoid(Ax)
-    return a * (1.0 - a)
+    w = a * (1.0 - a)
+    if mask is not None:
+        w = w * mask
+    return w
 
 
 @functools.partial(jax.jit, static_argnames=("l2",))
-def logreg_hvp(data: DualSparse, Ax, v, l2: float = 0.0):
+def logreg_hvp(data, Ax, v, l2: float = 0.0):
     """Exact HVP from cached margins (two SpMVs; loss.py:289-302)."""
-    w = hessian_weights(Ax)
+    w = hessian_weights(Ax, data_mask(data))
     return hvp_sparse(data, w, v, l2=l2)
 
 
@@ -136,20 +155,29 @@ class LogisticRegression(Oracle):
     def __init__(self, A, b, store_mat_vec_prod=True, dtype=None,
                  want_dense=None, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        from krylov_crn_tpu.parallel.sharded import ShardedDual, pad_rowvec
+
         if dtype is None:
             dtype = (np.float64 if jax.config.read("jax_enable_x64")
                      else np.float32)
-        if isinstance(A, DualSparse):
-            self.data = A.astype(dtype) if A.a.vals.dtype != dtype else A
+        if isinstance(A, ShardedDual):
+            # distributed oracle: row-sharded matrix + padded sharded labels
+            self.data = A
+            b = canonicalize_labels(np.asarray(b))
+            self.b = pad_rowvec(b.astype(dtype), A)
         else:
-            self.data = build_dual(A, dtype=dtype, want_dense=want_dense)
-        b = canonicalize_labels(np.asarray(b))
-        self.b = jnp.asarray(b.astype(dtype))
+            if isinstance(A, DualSparse):
+                self.data = (A.astype(dtype) if A.a.vals.dtype != dtype
+                             else A)
+            else:
+                self.data = build_dual(A, dtype=dtype, want_dense=want_dense)
+            b = canonicalize_labels(np.asarray(b))
+            self.b = jnp.asarray(b.astype(dtype))
         self.n, self.dim = self.data.shape
         self.store_mat_vec_prod = store_mat_vec_prod
         self.reuse = False
         self.x_last = None
-        self._mat_vec_prod = jnp.zeros(self.n, dtype)
+        self._mat_vec_prod = jnp.zeros(self.b.shape[0], dtype)
 
     # ---- margins cache (parity with loss.py:266-286) ----
     def mat_vec_product(self, x):
@@ -174,15 +202,15 @@ class LogisticRegression(Oracle):
     def reset(self):
         self.reuse = False
         self.x_last = None
-        self._mat_vec_prod = jnp.zeros(
-            self.n, self.data.a.vals.dtype
-        )
+        self._mat_vec_prod = jnp.zeros_like(self.b)
 
     # ---- oracle surface ----
     def _value(self, x):
         x = jnp.asarray(x)
         Ax = self.mat_vec_product(x)
-        return logreg_value_from_margins(self.b, Ax, x, l2=self.l2)
+        return logreg_value_from_margins(self.b, Ax, x, l2=self.l2,
+                                         mask=data_mask(self.data),
+                                         n=self.n)
 
     def gradient(self, x):
         x = jnp.asarray(x)
@@ -215,6 +243,18 @@ class LogisticRegression(Oracle):
         return H
 
     # ---- smoothness constants (loss.py:308-347) ----
+    def _vals(self):
+        d = self.data
+        return d.a_vals if hasattr(d, "a_vals") else d.a.vals
+
+    def _row_sqnorms(self):
+        d = self.data
+        if hasattr(d, "a_vals"):
+            from krylov_crn_tpu.parallel.sharded import sharded_row_sqnorms
+
+            return sharded_row_sqnorms(d)
+        return row_sqnorms(d.a)
+
     @property
     def smoothness(self):
         if self._smoothness is None:
@@ -223,7 +263,7 @@ class LogisticRegression(Oracle):
                     "The matrix is too large to estimate the smoothness "
                     "constant, so Frobenius estimate is used instead."
                 )
-                fro2 = float(jnp.sum(self.data.a.vals.astype(jnp.float32) ** 2))
+                fro2 = float(jnp.sum(self._vals().astype(jnp.float32) ** 2))
                 self._smoothness = 0.25 * fro2 / self.n + self.l2
             else:
                 smax = float(_sigma_max(self.data))
@@ -233,21 +273,22 @@ class LogisticRegression(Oracle):
     @property
     def max_smoothness(self):
         if self._max_smoothness is None:
-            mx = float(jnp.max(row_sqnorms(self.data.a)))
+            mx = float(jnp.max(self._row_sqnorms()))
             self._max_smoothness = 0.25 * mx + self.l2
         return self._max_smoothness
 
     @property
     def average_smoothness(self):
         if self._ave_smoothness is None:
-            av = float(jnp.mean(row_sqnorms(self.data.a)))
+            # mean over *real* rows (padding rows report 0)
+            av = float(jnp.sum(self._row_sqnorms())) / self.n
             self._ave_smoothness = 0.25 * av + self.l2
         return self._ave_smoothness
 
     @property
     def hessian_lipschitz(self):
         if self._hessian_lipschitz is None:
-            a_max = float(jnp.sqrt(jnp.max(row_sqnorms(self.data.a))))
+            a_max = float(jnp.sqrt(jnp.max(self._row_sqnorms())))
             A_norm = (self.smoothness - self.l2) * 4
             self._hessian_lipschitz = A_norm * a_max / (6 * np.sqrt(3))
         return self._hessian_lipschitz
@@ -263,7 +304,8 @@ def _sigma_max(data: DualSparse, iters: int = 200):
     """Largest singular value of A by power iteration on A^T A (replaces
     scipy svds, loss.py:319)."""
     d = data.d
-    v0 = jnp.full((d,), 1.0 / np.sqrt(d), data.a.vals.dtype)
+    vals = data.a_vals if hasattr(data, "a_vals") else data.a.vals
+    v0 = jnp.full((d,), 1.0 / np.sqrt(d), vals.dtype)
 
     def body(_, v):
         u = spmv(data, v)

@@ -35,15 +35,27 @@ def spmv_coo(m: SparseMatrix, x: jax.Array) -> jax.Array:
     )
 
 
-def spmv(data: DualSparse, x: jax.Array) -> jax.Array:
-    """Ax (n-vector). Uses the dense MXU path when available."""
+def spmv(data, x: jax.Array) -> jax.Array:
+    """Ax. Dispatches: dense MXU path, sharded shard_map path, or COO."""
+    from krylov_crn_tpu.parallel.sharded import ShardedDual, sharded_spmv
+
+    if isinstance(data, ShardedDual):
+        return sharded_spmv(data, x)
     if data.dense is not None:
         return data.dense @ x
     return spmv_coo(data.a, x)
 
 
-def rmatvec(data: DualSparse, z: jax.Array) -> jax.Array:
-    """A.T z (d-vector) via the stored transpose — gather + seg-sum, no scatter."""
+def rmatvec(data, z: jax.Array) -> jax.Array:
+    """A.T z (d-vector) via the stored transpose — gather + seg-sum, no
+    scatter. Sharded inputs psum the d-vector over the data axis."""
+    from krylov_crn_tpu.parallel.sharded import (
+        ShardedDual,
+        sharded_rmatvec,
+    )
+
+    if isinstance(data, ShardedDual):
+        return sharded_rmatvec(data, z)
     if data.dense is not None:
         return data.dense.T @ z
     return spmv_coo(data.at, z)

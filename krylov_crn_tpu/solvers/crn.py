@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from krylov_crn_tpu.data.formats import DualSparse
 from krylov_crn_tpu.models.logistic import (
+    data_mask,
     hessian_weights,
     logreg_gradient_from_margins,
     logreg_hessian_dense,
@@ -106,7 +107,8 @@ def crn_step_full(
                          - jnp.dot(g.astype(adt), s) / 2.0)
             x_new = x + s.astype(x.dtype)
             Ax_new = spmv(data, x_new)
-            value_new = logreg_value_from_margins(b, Ax_new, x_new, l2=l2)
+            value_new = logreg_value_from_margins(
+                b, Ax_new, x_new, l2=l2, mask=data_mask(data), n=data.n)
             return lam, it, model_dec, x_new, Ax_new, value_new
 
         reg0 = state.reg_coef.astype(adt) * beta
@@ -155,7 +157,7 @@ def crn_step_cg(
     x, Ax, value = state.x, state.Ax, state.value
     g = logreg_gradient_from_margins(data, b, Ax, x, l2=l2)
     g_norm = jnp.sqrt(jnp.dot(g.astype(adt), g.astype(adt)))
-    w = hessian_weights(Ax)
+    w = hessian_weights(Ax, data_mask(data))
 
     def hvp(v):
         Hv = rmatvec(data, w * spmv(data, v)) / n
@@ -175,7 +177,8 @@ def crn_step_cg(
                                  cg_maxiter=cg_maxiter, accum_dtype=adt)
             x_new = x + sol.s
             Ax_new = spmv(data, x_new)
-            value_new = logreg_value_from_margins(b, Ax_new, x_new, l2=l2)
+            value_new = logreg_value_from_margins(
+                b, Ax_new, x_new, l2=l2, mask=data_mask(data), n=data.n)
             return (sol.r.astype(adt), sol.iterations,
                     sol.model_decrease.astype(adt), x_new, Ax_new, value_new)
 

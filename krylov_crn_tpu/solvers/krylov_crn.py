@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from krylov_crn_tpu.data.formats import DualSparse
 from krylov_crn_tpu.models.logistic import (
+    data_mask,
     hessian_weights,
     logreg_gradient_from_margins,
     logreg_value_from_margins,
@@ -87,7 +88,8 @@ def krylov_step(
 
     x, Ax, value = state.x, state.Ax, state.value
     g = logreg_gradient_from_margins(data, b, Ax, x, l2=l2)
-    w = hessian_weights(Ax)
+    mask = data_mask(data)
+    w = hessian_weights(Ax, mask)
 
     def hvp_op(v):
         Av = spmv(data, v)
@@ -117,7 +119,8 @@ def krylov_step(
         s_c = s.astype(cdt)
         x_new = x + s_c @ lz.V
         Ax_new = Ax + s_c @ AV
-        value_new = logreg_value_from_margins(b, Ax_new, x_new, l2=l2)
+        value_new = logreg_value_from_margins(b, Ax_new, x_new, l2=l2,
+                                              mask=mask, n=n)
         return lam, it, model_dec, x_new, Ax_new, value_new
 
     # Backtracking line search (cubic.py:286-303): optimistic first trial at
@@ -219,4 +222,5 @@ def _accum_dtype(cdt):
 @functools.partial(jax.jit, static_argnames=("l2",))
 def _initial_value(data, b, x0, l2):
     Ax = spmv(data, x0)
-    return logreg_value_from_margins(b, Ax, x0, l2=l2), Ax
+    return logreg_value_from_margins(b, Ax, x0, l2=l2,
+                                     mask=data_mask(data), n=data.n), Ax

@@ -29,6 +29,7 @@ import numpy as np
 
 from krylov_crn_tpu.data.formats import DualSparse
 from krylov_crn_tpu.models.logistic import (
+    data_mask,
     logreg_partials,
     logreg_value_from_margins,
 )
@@ -92,7 +93,8 @@ def sscn_step(
         s_c = s.astype(cdt)
         x_new = x.at[I].add(s_c)
         Ax_new = Ax + B @ s_c
-        value_new = logreg_value_from_margins(b, Ax_new, x_new, l2=l2)
+        value_new = logreg_value_from_margins(
+            b, Ax_new, x_new, l2=l2, mask=data_mask(data), n=data.n)
         return lam, it, model_dec, x_new, Ax_new, value_new
 
     # reg floor at machine eps mirrors cubic.py:366

@@ -1,0 +1,105 @@
+"""Distribution layer on the 8-device CPU fake mesh: sharded SpMV/HVP
+parity with single-device, full sharded Krylov-CRN run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from krylov_crn_tpu import CubicKrylov, LogisticRegression
+from krylov_crn_tpu.data.formats import build_dual
+from krylov_crn_tpu.data.synthetic import powerlaw_sparse
+from krylov_crn_tpu.parallel.mesh import make_mesh
+from krylov_crn_tpu.parallel.sharded import (
+    build_sharded_dual,
+    partition_rows,
+    sharded_rmatvec,
+    sharded_spmv,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def _unpad(y_sharded, sd):
+    """Gather the real rows out of a (D*n_l,) padded sharded vector."""
+    y = np.asarray(y_sharded).reshape(sd.n_shards, sd.n_local)
+    mask = np.asarray(sd.mask).reshape(sd.n_shards, sd.n_local).astype(bool)
+    return np.concatenate([y[i][mask[i]] for i in range(sd.n_shards)])
+
+
+def test_partition_rows_nnz_balanced():
+    A = powerlaw_sparse(1000, 500, 20000, seed=1, dtype=np.float64)
+    ranges = partition_rows(A.indptr, 8)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 1000
+    for (s0, e0), (s1, e1) in zip(ranges, ranges[1:]):
+        assert e0 == s1
+    nnzs = [A.indptr[e] - A.indptr[s] for s, e in ranges]
+    assert max(nnzs) <= 1.5 * (sum(nnzs) / len(nnzs)) + A.indptr[-1] * 0.02
+
+
+def test_sharded_spmv_matches(mesh):
+    A = sp.random(977, 450, density=0.02, random_state=5, format="csr")
+    sd = build_sharded_dual(A, mesh, dtype=np.float64, pad_to=64)
+    x = np.random.default_rng(0).standard_normal(450)
+    y = _unpad(sharded_spmv(sd, jnp.asarray(x)), sd)
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+
+
+def test_sharded_rmatvec_matches(mesh):
+    A = sp.random(977, 450, density=0.02, random_state=6, format="csr")
+    sd = build_sharded_dual(A, mesh, dtype=np.float64, pad_to=64)
+    z = np.random.default_rng(1).standard_normal(977)
+    from krylov_crn_tpu.parallel.sharded import pad_rowvec
+
+    z_sh = pad_rowvec(z, sd, dtype=np.float64)
+    got = np.asarray(sharded_rmatvec(sd, z_sh))
+    np.testing.assert_allclose(got, A.T @ z, rtol=1e-11, atol=1e-12)
+
+
+def test_sharded_oracle_matches_single(mesh):
+    A = sp.random(500, 300, density=0.05, random_state=7, format="csr")
+    rng = np.random.default_rng(2)
+    b = np.where(rng.standard_normal(500) > 0, 1.0, -1.0)
+    x = rng.standard_normal(300)
+    v = rng.standard_normal(300)
+
+    single = LogisticRegression(A, b, l2=0.01)
+    sd = build_sharded_dual(A, mesh, dtype=np.float64, pad_to=64)
+    multi = LogisticRegression(sd, b, l2=0.01)
+
+    assert abs(single.value(x) - multi.value(x)) < 1e-12
+    np.testing.assert_allclose(np.asarray(multi.gradient(x)),
+                               np.asarray(single.gradient(x)),
+                               rtol=1e-11, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(multi.hess_vec_prod(x, v)),
+                               np.asarray(single.hess_vec_prod(x, v)),
+                               rtol=1e-11, atol=1e-14)
+
+
+def test_sharded_krylov_run_matches_single(mesh):
+    """Full sharded Krylov-CRN training run == single-device run."""
+    A = sp.random(640, 200, density=0.05, random_state=8, format="csr")
+    rng = np.random.default_rng(3)
+    b = np.where(rng.standard_normal(640) > 0, 1.0, -1.0)
+    x0 = np.ones(200) * 0.5
+
+    loss_1 = LogisticRegression(A, b, l2=1e-3,
+                                want_dense=False)
+    alg_1 = CubicKrylov(loss=loss_1, reg_coef=1e-3, subspace_dim=8,
+                        tqdm=False, label="single")
+    t1 = alg_1.run(x0=x0, it_max=12)
+
+    sd = build_sharded_dual(A, mesh, dtype=np.float64, pad_to=64)
+    loss_8 = LogisticRegression(sd, b, l2=1e-3)
+    alg_8 = CubicKrylov(loss=loss_8, reg_coef=1e-3, subspace_dim=8,
+                        tqdm=False, label="sharded")
+    t8 = alg_8.run(x0=x0, it_max=12)
+
+    np.testing.assert_allclose(np.asarray(t8.xs[-1]), np.asarray(t1.xs[-1]),
+                               rtol=1e-8, atol=1e-10)
+    assert abs(float(alg_8.state.value) - float(alg_1.state.value)) < 1e-12
