@@ -1,0 +1,214 @@
+"""Experiment driver: the reference's cubic_newton.py re-built on the TPU
+framework (flags, run grid, empirical-f* protocol and figures all mirror
+/root/reference/cubic_newton.py:14-161).
+
+Usage:
+    python -m krylov_crn_tpu.cli --dataset w8a --it_max 100
+    python -m krylov_crn_tpu.cli --dataset rcv1_train.binary --plot_time \
+        --it_max 50000 --time_max 60 --SSCN_dim 10 50 100 500
+    python -m krylov_crn_tpu.cli --dataset rcv1-like --synthetic ...
+
+Additions over the reference CLI: --synthetic (no-egress stand-ins shaped
+like the LIBSVM grid), --dtype, --l2, --allow-download, --mesh N (shard the
+problem over N devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Cubic Regularized Newton Methods")
+    p.add_argument("--dataset", metavar="DATASETS", default="w8a", type=str,
+                   help="LIBSVM dataset name, local path, or synthetic name")
+    p.add_argument("--plot_time", dest="plot_time", action="store_true",
+                   help="Plot with respect to time")
+    p.add_argument("--it_max", default=50000, type=int, metavar="IT",
+                   help="max iteration")
+    p.add_argument("--time_max", default=60, type=float, metavar="T",
+                   help="max time")
+    p.add_argument("--SSCN_dim", nargs="+", default=10, type=int,
+                   metavar="D", help="Subspace dimensions of SSCN")
+    # TPU-build additions
+    p.add_argument("--synthetic", action="store_true",
+                   help="use a synthetic stand-in shaped like the dataset")
+    p.add_argument("--krylov_dim", default=10, type=int,
+                   help="Krylov subspace dimension m")
+    p.add_argument("--l2", default=0.0, type=float)
+    p.add_argument("--dtype", default=None, choices=[None, "float32",
+                                                     "float64"])
+    p.add_argument("--allow-download", action="store_true")
+    p.add_argument("--mesh", default=0, type=int,
+                   help="shard rows over N devices (0 = single device)")
+    p.add_argument("--no-bench-run", action="store_true",
+                   help="skip the 5x-budget benchmark run used for f*")
+    p.add_argument("--out-dir", default="figs")
+    p.add_argument("--results-dir", default=None,
+                   help="pickle traces into this directory")
+    return p
+
+
+_SYNTH_ALIASES = {
+    "w8a": "w8a-like",
+    "rcv1_train.binary": "rcv1-like",
+    "news20.binary": "news20-like",
+}
+
+
+def load_dataset(args):
+    """Returns (A_csr, b) honoring --synthetic and local files."""
+    from krylov_crn_tpu.data.libsvm import load_libsvm
+    from krylov_crn_tpu.data.synthetic import DATASET_SHAPES, synthetic_logreg
+
+    name = args.dataset
+    key = name if name in DATASET_SHAPES else _SYNTH_ALIASES.get(name)
+    if args.synthetic:
+        if key is None:
+            raise SystemExit(f"no synthetic stand-in for {name!r}; "
+                             f"choices: {sorted(DATASET_SHAPES)}")
+        print(f"[cli] using synthetic stand-in for {name} ({key})")
+        return synthetic_logreg(key, seed=0)
+    if key in DATASET_SHAPES and not os.path.exists(name):
+        try:
+            return load_libsvm(name, allow_download=args.allow_download)
+        except FileNotFoundError:
+            print(f"[cli] {name} not found locally and downloads disabled; "
+                  f"falling back to synthetic stand-in ({key})")
+            return synthetic_logreg(key, seed=0)
+    return load_libsvm(name, allow_download=args.allow_download)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    m_list = args.SSCN_dim
+    if isinstance(m_list, int):
+        m_list = [m_list]
+
+    A, b = load_dataset(args)
+    n, dim = A.shape
+    print(f"[cli] {args.dataset}: n={n:,} d={dim:,} nnz={A.nnz:,}")
+
+    from krylov_crn_tpu.models.logistic import LogisticRegression
+    from krylov_crn_tpu.solvers import SSCN, CubicKrylov, CubicNewton
+
+    dtype = args.dtype and np.dtype(args.dtype)
+    if args.mesh:
+        from krylov_crn_tpu.parallel.mesh import make_mesh
+        from krylov_crn_tpu.parallel.sharded import build_sharded_dual
+
+        mesh = make_mesh(args.mesh)
+        data = build_sharded_dual(A, mesh,
+                                  dtype=dtype or np.float32)
+        loss = LogisticRegression(data, b, l2=args.l2, dtype=dtype)
+        loss_csc = loss  # partials unsupported sharded; SSCN runs dense-b
+    else:
+        loss = LogisticRegression(A, b, l2=args.l2, dtype=dtype)
+        # the reference builds a CSC copy for SSCN (cubic_newton.py:55-59);
+        # our DualSparse already stores the transpose, so one more oracle
+        # instance only serves the f* = min(f_opt, f_opt_csc) protocol
+        loss_csc = LogisticRegression(loss.data, b, l2=args.l2, dtype=dtype)
+
+    x0 = np.ones(dim) * 0.5
+    it_max, time_max = args.it_max, args.time_max
+
+    # ---- algorithms (constructor grid of cubic_newton.py:63-88) ----
+    memory_size = args.krylov_dim
+    cub_krylov = CubicKrylov(loss=loss, reg_coef=1e-3,
+                             label=f"Krylov CRN (m = {memory_size})",
+                             subspace_dim=memory_size, tolerance=1e-9)
+    memory_size_bench = 2 * memory_size
+    cub_krylov_bench = CubicKrylov(
+        loss=loss, reg_coef=1e-3,
+        label=f"Benchmark Krylov CRN (m = {memory_size_bench})",
+        subspace_dim=memory_size_bench, tolerance=1e-9)
+    cubic_solver = "full" if dim < 500 else "CG"
+    cub_root = CubicNewton(loss=loss, reg_coef=1e-3, label="CRN",
+                           cubic_solver=cubic_solver, tolerance=1e-8)
+    sscn_list = [
+        SSCN(loss=loss_csc, reg_coef=1e-3, label=f"SSCN (m = {m})",
+             subspace_dim=m, tolerance=1e-9)
+        for m in m_list
+    ] if not args.mesh else []
+
+    # ---- run grid (cubic_newton.py:91-111) ----
+    print(f"Running optimizer: {cub_root.label}")
+    cub_root.run(x0=x0, it_max=it_max, t_max=time_max)
+    cub_root.compute_loss_of_iterates()
+    time_max = max(cub_root.trace.ts[-1], time_max)
+
+    for alg in sscn_list:
+        print(f"Running optimizer: {alg.label}")
+        alg.run(x0=x0, it_max=it_max, t_max=time_max)
+        alg.compute_loss_of_iterates()
+
+    print(f"Running optimizer: {cub_krylov.label}")
+    cub_krylov.run(x0=x0, it_max=it_max, t_max=time_max)
+    cub_krylov.compute_loss_of_iterates()
+
+    if not args.no_bench_run:
+        print(f"Running optimizer: {cub_krylov_bench.label}")
+        cub_krylov_bench.run(x0=x0, it_max=5 * it_max, t_max=5 * time_max)
+        cub_krylov_bench.compute_loss_of_iterates()
+
+    if args.results_dir:
+        for alg in [cub_root, cub_krylov, *sscn_list]:
+            alg.trace.save(f"{alg.label}.pkl", path=args.results_dir)
+
+    # ---- plotting (cubic_newton.py:113-161) ----
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    try:
+        import seaborn as sns
+
+        sns.set_style("ticks")
+        sns.set_palette("colorblind")
+    except ImportError:
+        pass
+    color_cycle = plt.rcParams["axes.prop_cycle"].by_key()["color"]
+    plt.rcParams["pdf.fonttype"] = 42
+    plt.rcParams["ps.fonttype"] = 42
+    for k, v in [("font", 10), ("axes", 12), ("xtick", 10), ("ytick", 10),
+                 ("legend", 10), ("figure", 14)]:
+        if k == "font":
+            plt.rc(k, size=v)
+        elif k in ("axes",):
+            plt.rc(k, titlesize=v, labelsize=v)
+        elif k == "figure":
+            plt.rc(k, titlesize=v)
+        else:
+            plt.rc(k, labelsize=v) if k in ("xtick", "ytick") else \
+                plt.rc(k, fontsize=v)
+
+    f_opt = min(loss.f_opt, loss_csc.f_opt)
+    cub_root.trace.plot_losses(marker="o", markersize=5, f_opt=f_opt,
+                               time=args.plot_time)
+    for alg in sscn_list:
+        alg.trace.plot_losses(marker="^", markersize=6, f_opt=f_opt,
+                              time=args.plot_time)
+    cub_krylov.trace.plot_losses(marker="v", markersize=6, f_opt=f_opt,
+                                 time=args.plot_time,
+                                 color=color_cycle[7 % len(color_cycle)])
+    plt.xlabel("Time (s)" if args.plot_time else "Iteration")
+    plt.yscale("log")
+    plt.legend()
+    plt.grid()
+    plt.title("{} ($n={:,}$, $d={:,}$)".format(args.dataset, n, dim))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    mode = "time" if args.plot_time else "iteration"
+    out = os.path.join(args.out_dir, f"{mode}_{args.dataset}.pdf")
+    plt.savefig(out)
+    print(f"[cli] saved {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
