@@ -300,17 +300,31 @@ class LogisticRegression(Oracle):
 
 
 @jax.jit
-def _sigma_max(data: DualSparse, iters: int = 200):
-    """Largest singular value of A by power iteration on A^T A (replaces
-    scipy svds, loss.py:319)."""
+def _sigma_max(data: DualSparse, tol: float = 1e-12, it_max: int = 10000):
+    """Largest singular value of A by tolerance-driven power iteration on
+    A^T A (replaces scipy svds, loss.py:319). Converges the Rayleigh
+    quotient sigma^2 to relative `tol`."""
     d = data.d
     vals = data.a_vals if hasattr(data, "a_vals") else data.a.vals
     v0 = jnp.full((d,), 1.0 / np.sqrt(d), vals.dtype)
 
-    def body(_, v):
-        u = spmv(data, v)
-        w = rmatvec(data, u)
-        return w / jnp.linalg.norm(w)
+    def step(v):
+        w = rmatvec(data, spmv(data, v))
+        sig2 = jnp.linalg.norm(w)  # = sigma_max^2 estimate (||v|| == 1)
+        return w / sig2, sig2
 
-    v = jax.lax.fori_loop(0, iters, body, v0)
-    return jnp.linalg.norm(spmv(data, v))
+    def cond(state):
+        _, sig2, sig2_prev, it = state
+        rel = jnp.abs(sig2 - sig2_prev) / jnp.maximum(sig2, 1e-300)
+        return jnp.logical_and(rel > tol, it < it_max)
+
+    def body(state):
+        v, sig2, _, it = state
+        v_new, sig2_new = step(v)
+        return (v_new, sig2_new, sig2, it + 1)
+
+    v1, sig2_1 = step(v0)
+    v, sig2, _, _ = jax.lax.while_loop(
+        cond, body, (v1, sig2_1, jnp.zeros_like(sig2_1),
+                     jnp.asarray(1, jnp.int32)))
+    return jnp.sqrt(sig2)
