@@ -171,6 +171,11 @@ class LogisticRegression(Oracle):
                              else A)
             else:
                 self.data = build_dual(A, dtype=dtype, want_dense=want_dense)
+                # retained for Gram-space solvers (one-time K = A A^T build)
+                import scipy.sparse as sp
+
+                self.A_host = (A.tocsr() if sp.issparse(A)
+                               else sp.csr_matrix(np.asarray(A)))
             b = canonicalize_labels(np.asarray(b))
             self.b = jnp.asarray(b.astype(dtype))
         self.n, self.dim = self.data.shape

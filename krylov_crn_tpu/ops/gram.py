@@ -1,0 +1,249 @@
+"""Gram-space (row-kernel) formulation — the TPU-native compute path.
+
+Measured hardware truth (TPU v5e, no SparseCore): XLA arbitrary
+gather/scatter runs at ~0.14 G elem/s (scalar rate), so nnz-wise sparse
+kernels cannot beat host scipy. The fast engines are the MXU and dense HBM
+streaming (~700 GB/s measured). This module therefore reformulates the
+entire second-order solver to run on *dense n x n* linear algebra:
+
+For logistic regression the loss, gradients, Hessians and every Krylov
+vector generated from them live in the affine subspace
+
+    x  =  gamma * x0  +  A^T zeta ,        zeta in R^n
+
+(gradients are A^T(residual)/n + l2*x — see loss.py:223-232 — and H maps
+the subspace to itself). Tracking the *representation* (gamma, zeta)
+instead of x closes every operation over the n x n Gram matrix
+
+    K = A A^T          (dense on device; text-corpus K is ~100% dense)
+
+with these identities (b-margins Ax = gamma*Ax0 + K zeta):
+
+    A v            = beta * Ax0 + K w                for v = beta*x0 + A^T w
+    H v            = (l2*beta,  D(Av)/n + l2 w)      one K-matvec per HVP
+    <v, v'>        = bb' |x0|^2 + b(Ax0.w') + b'(Ax0.w) + w.u' - b'(w.Ax0)
+                     where u = A v is carried alongside (u' = Av') — zero
+                     extra matvecs for any inner product
+    ||x||^2        = g^2|x0|^2 + 2g Ax0.zeta + zeta.(Ax - g Ax0)
+
+d (the feature dimension) appears only at build time (K, Ax0) and when an
+explicit iterate is materialized (one transpose SpMV per checkpoint).
+Per Krylov-CRN iteration: m+2 dense K-matvecs ~= (m+2) * n^2 * 4B of HBM
+traffic — 2.3 ms each at n=20k fp32 — vs ~35 ms per *single* sparse HVP on
+the gather path. Applicable when n fits a dense K (n <~ 45k per 8GB);
+complements the dense-A path (small d) and the COO path (fallback).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["GramData", "build_gram", "Rep", "rep_dot", "gram_lanczos"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GramData:
+    """Dense Gram-space problem data (rows padded to n_pad)."""
+
+    K: jax.Array  # (n_pad, n_pad) Gram matrix A A^T
+    Ax0: jax.Array  # (n_pad,) margins of the base point x0
+    b: jax.Array  # (n_pad,) labels in {0,1}, 0 on padding
+    mask: jax.Array  # (n_pad,) 1 on real rows
+    x0_sqnorm: jax.Array  # scalar |x0|^2
+    n: int = dataclasses.field(metadata=dict(static=True))
+    d: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_padded(self) -> int:
+        return self.K.shape[0]
+
+
+def _cache_key(A, x0) -> str:
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(A.indptr).tobytes())
+    h.update(np.ascontiguousarray(A.indices[:4096]).tobytes())
+    h.update(np.ascontiguousarray(A.data[:4096]).tobytes())
+    h.update(np.asarray(x0).tobytes())
+    h.update(str(A.shape).encode())
+    return h.hexdigest()[:16]
+
+
+def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None
+               ) -> GramData:
+    """Build GramData from a scipy CSR matrix.
+
+    K = A A^T is computed on the host (scipy sparse matmul) and cached on
+    disk keyed by the matrix structure — it is iterate-independent and
+    reused across runs/algorithms.
+    """
+    import scipy.sparse as sp
+
+    A = A.tocsr()
+    n, d = map(int, A.shape)
+    n_pad = _round_up(n, 256)
+    x0 = np.asarray(x0, np.float64)
+
+    K = None
+    cache_file = None
+    if cache_dir is not None:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        cache_file = Path(cache_dir) / f"gram_{_cache_key(A, x0)}.npy"
+        if cache_file.exists():
+            K = np.load(cache_file, mmap_mode=None)
+    if K is None:
+        K = np.asarray((A @ A.T).todense(), dtype)
+        if cache_file is not None:
+            np.save(cache_file, K)
+    Kp = np.zeros((n_pad, n_pad), dtype)
+    Kp[:n, :n] = K
+
+    Ax0 = np.zeros(n_pad, dtype)
+    Ax0[:n] = A @ x0
+    bp = np.zeros(n_pad, dtype)
+    bp[:n] = np.asarray(b, dtype)
+    mask = np.zeros(n_pad, dtype)
+    mask[:n] = 1
+
+    return GramData(
+        K=jnp.asarray(Kp), Ax0=jnp.asarray(Ax0), b=jnp.asarray(bp),
+        mask=jnp.asarray(mask),
+        x0_sqnorm=jnp.asarray(float(x0 @ x0), dtype),
+        n=n, d=d, nnz=int(A.nnz),
+    )
+
+
+class Rep(NamedTuple):
+    """v = beta * x0 + A^T w, with the image u = A v carried along."""
+
+    beta: jax.Array  # scalar
+    w: jax.Array  # (n_pad,)
+    u: jax.Array  # (n_pad,) == beta * Ax0 + K w (maintained by linearity)
+
+
+def rep_dot(gd: GramData, a: Rep, bv: Rep, adt):
+    """<a, b> in the d-space, closed over carried images (no matvec).
+
+    <a,b> = ba*bb*|x0|^2 + ba Ax0.wb + bb Ax0.wa + wa.K wb, and
+    wa.K wb = wa.(ub - bb Ax0), so the bb-terms cancel:
+    """
+    Ax0 = gd.Ax0.astype(adt)
+    wa, wb = a.w.astype(adt), bv.w.astype(adt)
+    ba, bb = a.beta.astype(adt), bv.beta.astype(adt)
+    return (ba * bb * gd.x0_sqnorm.astype(adt)
+            + ba * jnp.dot(Ax0, wb)
+            + jnp.dot(wa, bv.u.astype(adt)))
+
+
+def rep_scale(a: Rep, s) -> Rep:
+    return Rep(a.beta * s, a.w * s, a.u * s)
+
+
+def rep_sub(a: Rep, b: Rep) -> Rep:
+    return Rep(a.beta - b.beta, a.w - b.w, a.u - b.u)
+
+
+def rep_axpy(y: Rep, alpha, x: Rep) -> Rep:
+    return Rep(y.beta + alpha * x.beta, y.w + alpha * x.w,
+               y.u + alpha * x.u)
+
+
+class GramLanczosResult(NamedTuple):
+    alphas: jax.Array  # (m,)
+    betas: jax.Array  # (m-1,)
+    Vb: jax.Array  # (m,) x0-coefficients of the basis
+    Vw: jax.Array  # (m, n_pad) zeta-components
+    Vu: jax.Array  # (m, n_pad) images A v_j  (the AV matrix for free)
+    k: jax.Array  # valid basis count
+
+
+def gram_lanczos(gd: GramData, hop, g: Rep, m: int,
+                 reorth_passes: int = 1, breakdown_tol: float = 1e-6,
+                 accum_dtype=jnp.float32) -> GramLanczosResult:
+    """Lanczos on rep-space vectors; mirrors ops/lanczos.py (same masking
+    and breakdown semantics, reference cubic.py:77-111) with all inner
+    products in closed Gram form. ``hop(v: Rep) -> Rep`` applies H with
+    exactly one K-matvec."""
+    cdt = g.w.dtype
+    adt = jnp.dtype(accum_dtype)
+    npad = g.w.shape[0]
+
+    g_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, g, g, adt), 0.0)).astype(cdt)
+    v0 = rep_scale(g, 1.0 / g_norm)
+
+    Vb0 = jnp.zeros((m,), cdt).at[0].set(v0.beta)
+    Vw0 = jnp.zeros((m, npad), cdt).at[0].set(v0.w)
+    Vu0 = jnp.zeros((m, npad), cdt).at[0].set(v0.u)
+
+    def stacked_dots(Vb, Vw, Vu, t: Rep):
+        """c_j = <V_j, t> for all j (same cancellation as rep_dot)."""
+        Ax0 = gd.Ax0.astype(adt)
+        tw, tb = t.w.astype(adt), t.beta.astype(adt)
+        Vw_, Vb_ = Vw.astype(adt), Vb.astype(adt)
+        return (Vb_ * tb * gd.x0_sqnorm.astype(adt)
+                + Vb_ * jnp.dot(Ax0, tw)
+                + Vw_ @ t.u.astype(adt))
+
+    def reorth(t: Rep, Vb, Vw, Vu) -> Rep:
+        for _ in range(reorth_passes):
+            c = stacked_dots(Vb, Vw, Vu, t).astype(cdt)
+            t = Rep(t.beta - jnp.dot(c, Vb), t.w - c @ Vw, t.u - c @ Vu)
+        return t
+
+    def body(carry, j):
+        Vb, Vw, Vu, v_prev, v, beta_prev, active, k = carry
+        Hv = hop(v)
+        t = rep_axpy(Hv, -beta_prev, v_prev)
+        alpha = rep_dot(gd, v, t, adt).astype(cdt)
+        alpha_j = jnp.where(active, alpha, jnp.zeros((), cdt))
+        t = rep_axpy(t, -alpha, v)
+        if reorth_passes > 0:
+            t = reorth(t, Vb, Vw, Vu)
+        beta = jnp.sqrt(jnp.maximum(rep_dot(gd, t, t, adt), 0.0)).astype(cdt)
+        ok = jnp.abs(beta) >= jnp.asarray(breakdown_tol, cdt)
+        proceed = jnp.logical_and(active, ok)
+        beta_j = jnp.where(proceed, beta, jnp.zeros((), cdt))
+        inv = 1.0 / jnp.where(ok, beta, 1.0)
+        v_next = Rep(
+            jnp.where(proceed, t.beta * inv, v.beta),
+            jnp.where(proceed, t.w * inv, v.w),
+            jnp.where(proceed, t.u * inv, v.u),
+        )
+        v_prev_n = Rep(
+            jnp.where(proceed, v.beta, v_prev.beta),
+            jnp.where(proceed, v.w, v_prev.w),
+            jnp.where(proceed, v.u, v_prev.u),
+        )
+        Vb = jnp.where(proceed, Vb.at[j + 1].set(v_next.beta), Vb)
+        Vw = jnp.where(proceed, Vw.at[j + 1].set(v_next.w), Vw)
+        Vu = jnp.where(proceed, Vu.at[j + 1].set(v_next.u), Vu)
+        k = jnp.where(proceed, j + 2, k)
+        return ((Vb, Vw, Vu, v_prev_n, v_next, beta_j, proceed, k),
+                (alpha_j, beta_j))
+
+    zero = Rep(jnp.zeros((), cdt), jnp.zeros(npad, cdt), jnp.zeros(npad, cdt))
+    init = (Vb0, Vw0, Vu0, zero, v0, jnp.zeros((), cdt), jnp.asarray(True),
+            jnp.asarray(1, jnp.int32))
+    (Vb, Vw, Vu, _, v_last, _, _, k), (alphas, betas) = jax.lax.scan(
+        body, init, jnp.arange(m - 1, dtype=jnp.int32))
+
+    Hv = hop(v_last)
+    alpha_last = rep_dot(gd, v_last, Hv, adt).astype(cdt)
+    alphas = jnp.concatenate([alphas, jnp.zeros((1,), cdt)])
+    alphas = alphas.at[k - 1].set(alpha_last)
+
+    return GramLanczosResult(alphas=alphas, betas=betas, Vb=Vb, Vw=Vw,
+                             Vu=Vu, k=k)

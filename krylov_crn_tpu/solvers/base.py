@@ -97,7 +97,7 @@ class Optimizer:
                 f_best = float(self.state.f_best)
                 if f_best < self.loss.f_opt:
                     self.loss.f_opt = f_best
-                    self.loss.x_opt = self.state.x
+                    self.loss.x_opt = getattr(self.state, "x", None)
         return self.trace
 
     def check_convergence(self):

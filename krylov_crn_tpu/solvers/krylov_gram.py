@@ -1,0 +1,286 @@
+"""Krylov CRN in Gram space — the MXU-native flagship solver.
+
+Same algorithm as solvers/krylov_crn.py (reference cubic.py:238-319), but
+every iteration runs on dense n x n K-matvecs instead of sparse gathers
+(see ops/gram.py for why: measured v5e gather ~0.14 G/s vs ~700 GB/s dense
+streaming). The iterate never materializes: the state carries
+(gamma, zeta, margins) with x = gamma*x0 + A^T zeta.
+
+Per iteration: (m + 2) K-matvecs + O(m n) vector work + the O(m) secular
+line search. Checkpoints store (gamma, zeta, margins) — loss re-evaluation
+is O(n) per checkpoint with no SpMV at all; materializing an explicit x
+costs one transpose SpMV, paid only on demand.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from krylov_crn_tpu.ops.gram import (
+    GramData,
+    Rep,
+    build_gram,
+    gram_lanczos,
+    rep_dot,
+)
+from krylov_crn_tpu.ops.math import logsig
+from krylov_crn_tpu.ops.subproblem import secular_newton, tridiag_eigh
+from krylov_crn_tpu.solvers.base import Optimizer
+from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
+
+__all__ = ["GramKrylov", "GramKrylovState", "gram_krylov_step"]
+
+
+class GramKrylovState(NamedTuple):
+    gamma: jax.Array  # coefficient of x0 in x = gamma*x0 + A^T zeta
+    zeta: jax.Array  # (n_pad,)
+    Ax: jax.Array  # margins (n_pad,), invariant: gamma*Ax0 + K zeta
+    value: jax.Array
+    reg_coef: jax.Array
+    r0: jax.Array
+    solver_it: jax.Array
+    diff_norm: jax.Array
+    grad_norm: jax.Array
+    f_best: jax.Array
+
+
+class GramCheckpoint(NamedTuple):
+    """Stored per trace checkpoint; x materializes as gamma*x0 + A^T zeta."""
+
+    gamma: jax.Array
+    zeta: jax.Array
+    Ax: jax.Array
+    x_sqnorm: jax.Array
+
+
+def _gram_value(gd: GramData, Ax, x_sqnorm, l2, adt):
+    terms = ((1.0 - gd.b) * Ax - logsig(Ax)) * gd.mask
+    val = jnp.sum(terms.astype(adt)) / gd.n
+    if l2:
+        val = val + l2 / 2.0 * x_sqnorm.astype(adt)
+    return val
+
+
+def _x_sqnorm(gd: GramData, gamma, zeta, Ax, adt):
+    """|x|^2 = g^2|x0|^2 + 2g Ax0.zeta + zeta.K zeta, with
+    K zeta = Ax - g Ax0 (margins invariant)."""
+    z = zeta.astype(adt)
+    g = gamma.astype(adt)
+    return (g * g * gd.x0_sqnorm.astype(adt)
+            + g * jnp.dot(gd.Ax0.astype(adt), z)
+            + jnp.dot(z, Ax.astype(adt)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "l2", "beta", "solver_eps", "solver_it_max",
+                     "ls_max", "reorth_passes", "accum_dtype"),
+)
+def gram_krylov_step(
+    gd: GramData,
+    state: GramKrylovState,
+    m: int = 10,
+    l2: float = 0.0,
+    beta: float = 0.5,
+    solver_eps: float = 1e-8,
+    solver_it_max: int = 100,
+    ls_max: int = 20,
+    reorth_passes: int = 1,
+    accum_dtype=jnp.float32,
+) -> GramKrylovState:
+    cdt = state.zeta.dtype
+    adt = jnp.dtype(accum_dtype)
+    n = gd.n
+
+    gamma, zeta, Ax, value = state.gamma, state.zeta, state.Ax, state.value
+
+    # gradient rep: g = l2*gamma * x0 + A^T (residual/n + l2*zeta)
+    residual = (jax.nn.sigmoid(Ax) - gd.b) * gd.mask
+    w_g = residual / n + (l2 * zeta if l2 else 0.0)
+    beta_g = jnp.asarray(l2, cdt) * gamma
+    u_g = beta_g * gd.Ax0 + gd.K @ w_g
+    g = Rep(beta_g, w_g, u_g)
+
+    sig = jax.nn.sigmoid(Ax)
+    D = sig * (1.0 - sig) * gd.mask / n
+
+    def hop(v: Rep) -> Rep:
+        q = D * v.u
+        w_H = q + (l2 * v.w if l2 else 0.0)
+        u_H = gd.K @ q + (l2 * v.u if l2 else 0.0)
+        return Rep(jnp.asarray(l2, cdt) * v.beta, w_H, u_H)
+
+    lz = gram_lanczos(gd, hop, g, m, reorth_passes=reorth_passes,
+                      accum_dtype=adt)
+
+    theta, Q = tridiag_eigh(lz.alphas.astype(adt), lz.betas.astype(adt))
+    g_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, g, g, adt), 0.0))
+    c = g_norm * Q[0, :]
+
+    def trial(reg, r0):
+        lam, it = secular_newton(theta, c, reg, r0, xtol=solver_eps,
+                                 it_max=solver_it_max)
+        u = -c / (theta + lam)
+        s = Q @ u
+        norm_s = jnp.sqrt(jnp.sum(u * u))
+        model_dec = (lam / 2.0 * norm_s**2 - reg / 3.0 * norm_s**3
+                     - g_norm * s[0] / 2.0)
+        s_c = s.astype(cdt)
+        gamma_new = gamma + jnp.dot(s_c, lz.Vb)
+        zeta_new = zeta + s_c @ lz.Vw
+        Ax_new = Ax + s_c @ lz.Vu
+        xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
+        value_new = _gram_value(gd, Ax_new, xsq, l2, adt)
+        return (lam, it, model_dec, gamma_new, zeta_new, Ax_new, xsq,
+                value_new, s_c)
+
+    reg0 = state.reg_coef.astype(adt) * beta
+    carry0 = (reg0,) + trial(reg0, state.r0.astype(adt)) + \
+        (jnp.asarray(0, jnp.int32),)
+
+    def ls_cond(carry):
+        value_new = carry[8]
+        model_dec = carry[3]
+        trials = carry[-1]
+        bad = jnp.logical_not(value_new <= value - model_dec)
+        return jnp.logical_and(bad, trials < ls_max)
+
+    def ls_body(carry):
+        reg = carry[0] / beta
+        return (reg,) + trial(reg, state.r0.astype(adt)) + (carry[-1] + 1,)
+
+    (reg, lam, it, _, gamma_new, zeta_new, Ax_new, _, value_new, s_c, _) = \
+        jax.lax.while_loop(ls_cond, ls_body, carry0)
+
+    # ||x_new - x|| = ||V s|| in d-space, closed via the rep of the delta
+    delta = Rep(jnp.dot(s_c, lz.Vb), s_c @ lz.Vw, s_c @ lz.Vu)
+    diff_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, delta, delta, adt), 0.0))
+
+    return GramKrylovState(
+        gamma=gamma_new, zeta=zeta_new, Ax=Ax_new,
+        value=value_new,
+        reg_coef=reg.astype(cdt), r0=lam.astype(cdt),
+        solver_it=state.solver_it + it,
+        diff_norm=diff_norm.astype(cdt),
+        grad_norm=g_norm.astype(cdt),
+        f_best=jnp.minimum(state.f_best, value_new),
+    )
+
+
+class GramKrylov(Optimizer):
+    """Krylov CRN over the Gram-space representation.
+
+    Drop-in for CubicKrylov on problems with n small enough for a dense
+    n x n K (<~45k rows at fp32 / 8 GB). Requires the oracle to retain its
+    host scipy matrix (LogisticRegression does) for the one-time K build.
+    """
+
+    def __init__(self, reg_coef=None, subspace_dim=100, solver_eps=1e-8,
+                 beta=0.5, solver_it_max=100, ls_max=20, reorth_passes=1,
+                 cache_dir=None, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.subspace_dim = int(subspace_dim)
+        self.solver_eps = float(solver_eps)
+        self.solver_it_max = int(solver_it_max)
+        self.beta = float(beta)
+        self.ls_max = int(ls_max)
+        self.reorth_passes = int(reorth_passes)
+        self.cache_dir = cache_dir
+        self.reg_coef = (self.loss.hessian_lipschitz if reg_coef is None
+                         else float(reg_coef))
+        self.gd: GramData | None = None
+        self._x0_host = None
+
+    def init_state(self, x0, seed):
+        loss = self.loss
+        A = getattr(loss, "A_host", None)
+        if A is None:
+            raise ValueError(
+                "GramKrylov needs the oracle's host scipy matrix "
+                "(construct LogisticRegression from a scipy matrix)")
+        x0h = np.asarray(x0, np.float64)
+        self._x0_host = x0h
+        dtype = np.dtype(loss.b.dtype)
+        self.gd = build_gram(A, np.asarray(loss.b)[: A.shape[0]], x0h,
+                             dtype=dtype, cache_dir=self.cache_dir)
+        cdt = jnp.dtype(dtype)
+        npad = self.gd.n_padded
+        adt = _accum_dtype(cdt)
+        zeta = jnp.zeros(npad, cdt)
+        gamma = jnp.asarray(1.0, cdt)
+        Ax = self.gd.Ax0
+        xsq = _x_sqnorm(self.gd, gamma, zeta, Ax, adt)
+        value = _gram_value(self.gd, Ax, xsq, loss.l2, adt)
+        self.loss.reset()
+        self.trace.solver_its = [0]
+        return GramKrylovState(
+            gamma=gamma, zeta=zeta, Ax=Ax, value=value,
+            reg_coef=jnp.asarray(self.reg_coef, cdt),
+            r0=jnp.asarray(0.1, cdt),
+            solver_it=jnp.asarray(0, jnp.int32),
+            diff_norm=jnp.asarray(jnp.inf, cdt),
+            grad_norm=jnp.asarray(jnp.inf, cdt),
+            f_best=value,
+        )
+
+    def step(self):
+        self.state = gram_krylov_step(
+            self.gd, self.state,
+            m=self.subspace_dim, l2=self.loss.l2, beta=self.beta,
+            solver_eps=self.solver_eps, solver_it_max=self.solver_it_max,
+            ls_max=self.ls_max, reorth_passes=self.reorth_passes,
+            accum_dtype=_accum_dtype(self.state.zeta.dtype),
+        )
+
+    # ---- trace integration (checkpoints are reps, not iterates) ----
+    def update_trace(self):
+        st = self.state
+        adt = _accum_dtype(st.zeta.dtype)
+        ck = GramCheckpoint(
+            gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
+            x_sqnorm=_x_sqnorm(self.gd, st.gamma, st.zeta, st.Ax, adt),
+        )
+        self.trace.xs.append(ck)
+        self.trace.ts.append(self.t)
+        self.trace.its.append(self.it)
+        self.trace.solver_its.append(int(st.solver_it))
+
+    def init_run(self, x0, seed):
+        super().init_run(x0, seed)
+        # replace the base class's raw-x0 first checkpoint with a rep
+        st = self.state
+        adt = _accum_dtype(st.zeta.dtype)
+        self.trace.xs = [GramCheckpoint(
+            gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
+            x_sqnorm=_x_sqnorm(self.gd, st.gamma, st.zeta, st.Ax, adt),
+        )]
+
+    def materialize(self, ck: GramCheckpoint):
+        """x = gamma * x0 + A^T zeta (one transpose SpMV, on demand)."""
+        from krylov_crn_tpu.ops.spmv import rmatvec
+
+        z = ck.zeta[: self.gd.n]
+        at = rmatvec(self.loss.data, z.astype(self.loss.b.dtype))
+        return ck.gamma * jnp.asarray(self._x0_host, at.dtype) + at
+
+    def compute_loss_of_iterates(self):
+        """O(n) per checkpoint from stored margins — no SpMV re-eval pass
+        (the reference pays one full SpMV per stored iterate,
+        opt_trace.py:39-43)."""
+        if len(self.trace.loss_vals):
+            return
+        adt = jnp.float64 if jax.config.read("jax_enable_x64") else \
+            jnp.float32
+        vals = []
+        for ck in self.trace.xs:
+            v = float(_gram_value(self.gd, ck.Ax, ck.x_sqnorm,
+                                  self.loss.l2, adt))
+            if v < self.loss.f_opt:
+                self.loss.f_opt = v
+            vals.append(v)
+        self.trace.loss_vals = np.asarray(vals)

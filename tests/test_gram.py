@@ -1,0 +1,101 @@
+"""Gram-space formulation: rep algebra identities and solver parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from krylov_crn_tpu import CubicKrylov, LogisticRegression
+from krylov_crn_tpu.ops.gram import Rep, build_gram, rep_dot
+from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
+
+
+@pytest.fixture(scope="module")
+def gram_problem():
+    rng = np.random.default_rng(11)
+    n, d = 300, 700  # wide: n << d, the Gram regime
+    density = 0.05
+    Ad = rng.standard_normal((n, d)) * (rng.random((n, d)) < density)
+    A = sp.csr_matrix(Ad)
+    x_star = rng.standard_normal(d) / np.sqrt(d)
+    b = np.where(Ad @ x_star + 0.4 * rng.standard_normal(n) > 0, 1.0, -1.0)
+    x0 = np.ones(d) * 0.5
+    return A, b, x0
+
+
+def test_build_gram(gram_problem):
+    A, b, x0 = gram_problem
+    gd = build_gram(A, (b + 1) / 2, x0, dtype=np.float64)
+    n = A.shape[0]
+    K = np.asarray(gd.K)[:n, :n]
+    np.testing.assert_allclose(K, (A @ A.T).toarray(), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gd.Ax0)[:n], A @ x0, rtol=1e-12)
+    assert abs(float(gd.x0_sqnorm) - x0 @ x0) < 1e-10
+
+
+def test_rep_dot_identity(gram_problem):
+    """rep_dot must equal the true d-space inner product."""
+    A, b, x0 = gram_problem
+    gd = build_gram(A, (b + 1) / 2, x0, dtype=np.float64)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+
+    def mk(beta, w_host):
+        w = np.zeros(gd.n_padded)
+        w[:n] = w_host
+        u = beta * np.asarray(gd.Ax0) + np.asarray(gd.K) @ w
+        return (Rep(jnp.asarray(float(beta)), jnp.asarray(w),
+                    jnp.asarray(u)),
+                beta * x0 + A.T @ w_host)
+
+    ra, xa = mk(0.7, rng.standard_normal(n))
+    rb, xb = mk(-1.3, rng.standard_normal(n))
+    got = float(rep_dot(gd, ra, rb, jnp.float64))
+    want = float(xa @ xb)
+    assert abs(got - want) < 1e-8 * max(1.0, abs(want))
+
+
+@pytest.mark.parametrize("l2", [0.0, 1e-2])
+def test_gram_krylov_matches_standard(gram_problem, l2):
+    """Gram-space Krylov CRN must track the d-space solver step-for-step."""
+    A, b, x0 = gram_problem
+    it_max = 15
+
+    loss_std = LogisticRegression(A, b, l2=l2)
+    std = CubicKrylov(loss=loss_std, reg_coef=1e-3, subspace_dim=8,
+                      tolerance=1e-9, tqdm=False, label="std")
+    t_std = std.run(x0=x0, it_max=it_max)
+    std.compute_loss_of_iterates()
+
+    loss_gram = LogisticRegression(A, b, l2=l2)
+    gram = GramKrylov(loss=loss_gram, reg_coef=1e-3, subspace_dim=8,
+                      tolerance=1e-9, tqdm=False, label="gram")
+    t_gram = gram.run(x0=x0, it_max=it_max)
+    gram.compute_loss_of_iterates()
+
+    assert list(t_std.its) == list(t_gram.its)
+    np.testing.assert_allclose(np.asarray(t_gram.loss_vals),
+                               np.asarray(t_std.loss_vals),
+                               rtol=1e-8, atol=1e-11)
+    # the final iterate materializes to the same point
+    x_gram = np.asarray(gram.materialize(t_gram.xs[-1]))
+    x_std = np.asarray(t_std.xs[-1])
+    np.testing.assert_allclose(x_gram, x_std, rtol=1e-6, atol=1e-8)
+
+
+def test_gram_krylov_converges_deep(gram_problem):
+    """Reach a tiny gradient norm — validates long-horizon rep stability."""
+    A, b, x0 = gram_problem
+    loss = LogisticRegression(A, b, l2=1e-3)
+    alg = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=10,
+                     tolerance=1e-12, tqdm=False, label="gram")
+    alg.run(x0=x0, it_max=60)
+    assert float(alg.state.grad_norm) < 1e-8
+    # margins invariant: Ax == gamma*Ax0 + K zeta (rep consistency)
+    gd = alg.gd
+    st = alg.state
+    want = float(st.gamma) * np.asarray(gd.Ax0) + \
+        np.asarray(gd.K) @ np.asarray(st.zeta)
+    np.testing.assert_allclose(np.asarray(st.Ax), want, rtol=1e-8,
+                               atol=1e-10)
