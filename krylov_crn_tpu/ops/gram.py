@@ -56,13 +56,20 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GramData:
-    """Dense Gram-space problem data (rows padded to n_pad)."""
+    """Dense Gram-space problem data (rows padded to n_pad).
+
+    ``K_lr`` is an optional bf16 copy of K: Lanczos subspace construction
+    tolerates a ~1e-3-perturbed (still symmetric PSD) operator, halving
+    the HBM traffic of the m matvecs per iteration; margins and gradients
+    always use the fp32 K so loss values stay exact.
+    """
 
     K: jax.Array  # (n_pad, n_pad) Gram matrix A A^T
     Ax0: jax.Array  # (n_pad,) margins of the base point x0
     b: jax.Array  # (n_pad,) labels in {0,1}, 0 on padding
     mask: jax.Array  # (n_pad,) 1 on real rows
     x0_sqnorm: jax.Array  # scalar |x0|^2
+    K_lr: jax.Array | None  # optional low-precision K for Lanczos
     n: int = dataclasses.field(metadata=dict(static=True))
     d: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
@@ -70,6 +77,10 @@ class GramData:
     @property
     def n_padded(self) -> int:
         return self.K.shape[0]
+
+    @property
+    def K_lanczos(self):
+        return self.K if self.K_lr is None else self.K_lr
 
 
 def _cache_key(A, x0) -> str:
@@ -82,8 +93,8 @@ def _cache_key(A, x0) -> str:
     return h.hexdigest()[:16]
 
 
-def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None
-               ) -> GramData:
+def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
+               low_res_lanczos: bool | None = None) -> GramData:
     """Build GramData from a scipy CSR matrix.
 
     K = A A^T is computed on the host (scipy sparse matmul) and cached on
@@ -118,10 +129,17 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None
     mask = np.zeros(n_pad, dtype)
     mask[:n] = 1
 
+    Kd = jnp.asarray(Kp)
+    if low_res_lanczos is None:
+        # bf16 Lanczos only pays off when fp32 Lanczos would be the
+        # bottleneck (fp64 verification runs keep everything exact)
+        low_res_lanczos = np.dtype(dtype) == np.float32
+    K_lr = Kd.astype(jnp.bfloat16) if low_res_lanczos else None
     return GramData(
-        K=jnp.asarray(Kp), Ax0=jnp.asarray(Ax0), b=jnp.asarray(bp),
+        K=Kd, Ax0=jnp.asarray(Ax0), b=jnp.asarray(bp),
         mask=jnp.asarray(mask),
         x0_sqnorm=jnp.asarray(float(x0 @ x0), dtype),
+        K_lr=K_lr,
         n=n, d=d, nnz=int(A.nnz),
     )
 

@@ -76,6 +76,14 @@ def _x_sqnorm(gd: GramData, gamma, zeta, Ax, adt):
             + jnp.dot(z, Ax.astype(adt)))
 
 
+def _lr_matvec(K_lr, q, cdt):
+    """Low-precision K-matvec with fp32 accumulation."""
+    return jax.lax.dot_general(
+        K_lr, q.astype(K_lr.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("m", "l2", "beta", "solver_eps", "solver_it_max",
@@ -93,26 +101,43 @@ def gram_krylov_step(
     reorth_passes: int = 1,
     accum_dtype=jnp.float32,
 ) -> GramKrylovState:
+    """One Krylov-CRN iteration, TPU-shaped:
+
+    * Lanczos matvecs optionally use the bf16 copy of K (half the HBM
+      traffic); the committed margins are re-derived through the fp32 K so
+      loss values never degrade;
+    * the backtracking line search is *batched*: all ls_max+1 candidate
+      regularizations are solved at once (vmapped secular Newton, one
+      (L,m)x(m,n) matmul for all candidate margins) and the first
+      acceptable candidate is selected — no sequential while_loop, exact
+      same accept decision as the reference's loop (cubic.py:294-303).
+    """
     cdt = state.zeta.dtype
     adt = jnp.dtype(accum_dtype)
     n = gd.n
+    L = ls_max + 1
 
     gamma, zeta, Ax, value = state.gamma, state.zeta, state.Ax, state.value
 
     # gradient rep: g = l2*gamma * x0 + A^T (residual/n + l2*zeta)
-    residual = (jax.nn.sigmoid(Ax) - gd.b) * gd.mask
+    sig = jax.nn.sigmoid(Ax)
+    residual = (sig - gd.b) * gd.mask
     w_g = residual / n + (l2 * zeta if l2 else 0.0)
     beta_g = jnp.asarray(l2, cdt) * gamma
-    u_g = beta_g * gd.Ax0 + gd.K @ w_g
+    u_g = beta_g * gd.Ax0 + gd.K @ w_g  # fp32 K: gradient image is exact
     g = Rep(beta_g, w_g, u_g)
 
-    sig = jax.nn.sigmoid(Ax)
     D = sig * (1.0 - sig) * gd.mask / n
+    K_lz = gd.K_lanczos
 
     def hop(v: Rep) -> Rep:
         q = D * v.u
         w_H = q + (l2 * v.w if l2 else 0.0)
-        u_H = gd.K @ q + (l2 * v.u if l2 else 0.0)
+        if K_lz.dtype == gd.K.dtype:
+            Kq = K_lz @ q
+        else:
+            Kq = _lr_matvec(K_lz, q, cdt)
+        u_H = Kq + (l2 * v.u if l2 else 0.0)
         return Rep(jnp.asarray(l2, cdt) * v.beta, w_H, u_H)
 
     lz = gram_lanczos(gd, hop, g, m, reorth_passes=reorth_passes,
@@ -122,40 +147,43 @@ def gram_krylov_step(
     g_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, g, g, adt), 0.0))
     c = g_norm * Q[0, :]
 
-    def trial(reg, r0):
-        lam, it = secular_newton(theta, c, reg, r0, xtol=solver_eps,
-                                 it_max=solver_it_max)
-        u = -c / (theta + lam)
-        s = Q @ u
-        norm_s = jnp.sqrt(jnp.sum(u * u))
-        model_dec = (lam / 2.0 * norm_s**2 - reg / 3.0 * norm_s**3
-                     - g_norm * s[0] / 2.0)
-        s_c = s.astype(cdt)
-        gamma_new = gamma + jnp.dot(s_c, lz.Vb)
-        zeta_new = zeta + s_c @ lz.Vw
-        Ax_new = Ax + s_c @ lz.Vu
-        xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
-        value_new = _gram_value(gd, Ax_new, xsq, l2, adt)
-        return (lam, it, model_dec, gamma_new, zeta_new, Ax_new, xsq,
-                value_new, s_c)
+    # ---- batched line search over all candidate regularizations ----
+    ks = jnp.arange(L, dtype=adt)
+    regs = state.reg_coef.astype(adt) * beta * (1.0 / beta) ** ks
+    lams, its = jax.vmap(
+        lambda M: secular_newton(theta, c, M, state.r0.astype(adt),
+                                 xtol=solver_eps, it_max=solver_it_max)
+    )(regs)
+    U = -c[None, :] / (theta[None, :] + lams[:, None])  # (L, m)
+    S = U @ Q.T  # (L, m) steps in Lanczos coordinates
+    norm_s = jnp.sqrt(jnp.sum(U * U, axis=1))
+    model_decs = (lams / 2.0 * norm_s**2 - regs / 3.0 * norm_s**3
+                  - g_norm * S[:, 0] / 2.0)
+    S_c = S.astype(cdt)
+    gammas = gamma + S_c @ lz.Vb  # (L,)
+    zetas = zeta[None, :] + S_c @ lz.Vw  # (L, n_pad)
+    Axs = Ax[None, :] + S_c @ lz.Vu  # (L, n_pad)
+    xsqs = jax.vmap(lambda gm, zt, ax: _x_sqnorm(gd, gm, zt, ax, adt))(
+        gammas, zetas, Axs)
+    values = jax.vmap(lambda ax, xq: _gram_value(gd, ax, xq, l2, adt))(
+        Axs, xsqs)
 
-    reg0 = state.reg_coef.astype(adt) * beta
-    carry0 = (reg0,) + trial(reg0, state.r0.astype(adt)) + \
-        (jnp.asarray(0, jnp.int32),)
+    ok = values <= value - model_decs  # NaN-safe: NaN -> not ok
+    idx = jnp.where(jnp.any(ok), jnp.argmax(ok), L - 1)
 
-    def ls_cond(carry):
-        value_new = carry[8]
-        model_dec = carry[3]
-        trials = carry[-1]
-        bad = jnp.logical_not(value_new <= value - model_dec)
-        return jnp.logical_and(bad, trials < ls_max)
+    gamma_new = gammas[idx]
+    zeta_new = zetas[idx]
+    value_new = values[idx]
+    s_c = S_c[idx]
 
-    def ls_body(carry):
-        reg = carry[0] / beta
-        return (reg,) + trial(reg, state.r0.astype(adt)) + (carry[-1] + 1,)
-
-    (reg, lam, it, _, gamma_new, zeta_new, Ax_new, _, value_new, s_c, _) = \
-        jax.lax.while_loop(ls_cond, ls_body, carry0)
+    if K_lz.dtype != gd.K.dtype:
+        # margins flowed through bf16 Vu during the search; re-derive the
+        # committed margins exactly through fp32 K and refresh the value
+        Ax_new = gamma_new * gd.Ax0 + gd.K @ zeta_new
+        xsq_new = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
+        value_new = _gram_value(gd, Ax_new, xsq_new, l2, adt)
+    else:
+        Ax_new = Axs[idx]
 
     # ||x_new - x|| = ||V s|| in d-space, closed via the rep of the delta
     delta = Rep(jnp.dot(s_c, lz.Vb), s_c @ lz.Vw, s_c @ lz.Vu)
@@ -164,12 +192,31 @@ def gram_krylov_step(
     return GramKrylovState(
         gamma=gamma_new, zeta=zeta_new, Ax=Ax_new,
         value=value_new,
-        reg_coef=reg.astype(cdt), r0=lam.astype(cdt),
-        solver_it=state.solver_it + it,
+        reg_coef=regs[idx].astype(cdt), r0=lams[idx].astype(cdt),
+        solver_it=state.solver_it + its[idx],
         diff_norm=diff_norm.astype(cdt),
         grad_norm=g_norm.astype(cdt),
         f_best=jnp.minimum(state.f_best, value_new),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "m", "l2", "beta", "solver_eps",
+                     "solver_it_max", "ls_max", "reorth_passes",
+                     "accum_dtype"),
+)
+def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
+                          chunk: int = 16, **kw):
+    """`chunk` iterations in one device program (no host round-trips);
+    returns the final state plus per-iteration (value, grad_norm,
+    diff_norm, solver_it) stacks for full-resolution tracing."""
+
+    def body(st, _):
+        st2 = gram_krylov_step(gd, st, **kw)
+        return st2, (st2.value, st2.grad_norm, st2.diff_norm, st2.solver_it)
+
+    return jax.lax.scan(body, state, None, length=chunk)
 
 
 class GramKrylov(Optimizer):
@@ -259,6 +306,65 @@ class GramKrylov(Optimizer):
             gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
             x_sqnorm=_x_sqnorm(self.gd, st.gamma, st.zeta, st.Ax, adt),
         )]
+
+    def run_fused(self, x0, it_max, t_max=np.inf, chunk=16, seed=42):
+        """Device-fused run: `chunk` iterations per dispatch (lax.scan),
+        host sync only at chunk boundaries. Produces a *full-resolution*
+        loss-vs-iteration trace (the reference can only subsample,
+        optimizer.py:136-145); wall-times are interpolated within chunks.
+        """
+        import time as _time
+
+        self.t_max = t_max
+        self.it_max = it_max
+        if not self.initialized:
+            self.init_run(jnp.asarray(x0), seed)
+            self.initialized = True
+        kw = dict(
+            m=self.subspace_dim, l2=self.loss.l2, beta=self.beta,
+            solver_eps=self.solver_eps, solver_it_max=self.solver_it_max,
+            ls_max=self.ls_max, reorth_passes=self.reorth_passes,
+            accum_dtype=_accum_dtype(self.state.zeta.dtype),
+        )
+        self.trace.loss_vals = [float(self.state.value)]
+        t_start = _time.perf_counter()
+        t_prev = 0.0
+        while self.it < it_max:
+            k = int(min(chunk, it_max - self.it))
+            self.state, (vals, gns, dns, sits) = gram_krylov_multistep(
+                self.gd, self.state, chunk=k, **kw)
+            now = _time.perf_counter() - t_start
+            vals = np.asarray(vals, np.float64)
+            dns = np.asarray(dns, np.float64)
+            for j in range(k):
+                self.it += 1
+                self.trace.its.append(self.it)
+                self.trace.ts.append(t_prev + (now - t_prev) * (j + 1) / k)
+                self.trace.loss_vals.append(float(vals[j]))
+                self.trace.solver_its.append(int(sits[j]))
+            t_prev = now
+            self.t = now
+            # checkpoint the rep at chunk boundaries (for materialization)
+            self.update_trace_checkpoint_only()
+            if self.tolerance > 0 and dns[-1] < self.tolerance:
+                break
+            if now >= t_max:
+                break
+        self.trace.loss_vals = np.asarray(self.trace.loss_vals)
+        f_best = float(self.state.f_best)
+        if f_best < self.loss.f_opt:
+            self.loss.f_opt = f_best
+        self.initialized = False
+        self.finished_seeds.append(seed)
+        return self.trace
+
+    def update_trace_checkpoint_only(self):
+        st = self.state
+        adt = _accum_dtype(st.zeta.dtype)
+        self.trace.xs.append(GramCheckpoint(
+            gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
+            x_sqnorm=_x_sqnorm(self.gd, st.gamma, st.zeta, st.Ax, adt),
+        ))
 
     def materialize(self, ck: GramCheckpoint):
         """x = gamma * x0 + A^T zeta (one transpose SpMV, on demand)."""
