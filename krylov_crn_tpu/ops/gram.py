@@ -93,13 +93,61 @@ def _cache_key(A, x0) -> str:
     return h.hexdigest()[:16]
 
 
+def _build_K_device(A, n_pad: int, dtype, col_block: int = 65536,
+                    precision=None):
+    """K = A A^T computed on-device: stream column blocks, densify each by
+    one scatter (index arrays are jit args — the only data crossing the
+    host->device link is the nnz arrays, ~12B/nnz), then MXU GEMMs
+    K += B_blk @ B_blk^T. Orders of magnitude cheaper than shipping a
+    dense n^2 K through the host link."""
+    import functools
+
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    Acsc = A.tocsc()
+    n, d = map(int, A.shape)
+    cb = min(_round_up(d, 512), col_block)
+    nblk = -(-d // cb)
+    # uniform nnz padding across blocks -> a single compiled accumulator
+    blk_nnz = 0
+    for i in range(nblk):
+        c0, c1 = i * cb, min((i + 1) * cb, d)
+        blk_nnz = max(blk_nnz, int(Acsc.indptr[c1] - Acsc.indptr[c0]))
+    blk_nnz = max(_round_up(blk_nnz, 1024), 1024)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def accum(K, rows, colpos, vals):
+        B = jnp.zeros((n_pad, cb), dtype)
+        B = B.at[rows, colpos].add(vals)
+        return K + jax.lax.dot_general(
+            B, B, (((1,), (1,)), ((), ())), precision=precision)
+
+    K = jnp.zeros((n_pad, n_pad), dtype)
+    for i in range(nblk):
+        c0, c1 = i * cb, min((i + 1) * cb, d)
+        s, e = int(Acsc.indptr[c0]), int(Acsc.indptr[c1])
+        rows = Acsc.indices[s:e].astype(np.int32)
+        vals = Acsc.data[s:e].astype(dtype)
+        counts = np.diff(Acsc.indptr[c0:c1 + 1])
+        colpos = np.repeat(np.arange(c1 - c0, dtype=np.int32), counts)
+        pad = blk_nnz - len(rows)
+        # padding entries carry zero values into row 0 / local col 0
+        rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+        colpos = np.concatenate([colpos, np.zeros(pad, np.int32)])
+        vals = np.concatenate([vals, np.zeros(pad, dtype)])
+        K = accum(K, jnp.asarray(rows), jnp.asarray(colpos),
+                  jnp.asarray(vals))
+    return K
+
+
 def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
-               low_res_lanczos: bool | None = None) -> GramData:
+               low_res_lanczos: bool | None = None,
+               device_build: bool | None = None) -> GramData:
     """Build GramData from a scipy CSR matrix.
 
-    K = A A^T is computed on the host (scipy sparse matmul) and cached on
-    disk keyed by the matrix structure — it is iterate-independent and
-    reused across runs/algorithms.
+    K = A A^T is iterate-independent. On accelerator backends it is built
+    on-device (streamed column blocks + MXU GEMM, see _build_K_device); on
+    CPU it uses scipy's sparse matmul with an optional disk cache.
     """
     import scipy.sparse as sp
 
@@ -108,19 +156,26 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
     n_pad = _round_up(n, 256)
     x0 = np.asarray(x0, np.float64)
 
-    K = None
-    cache_file = None
-    if cache_dir is not None:
-        Path(cache_dir).mkdir(parents=True, exist_ok=True)
-        cache_file = Path(cache_dir) / f"gram_{_cache_key(A, x0)}.npy"
-        if cache_file.exists():
-            K = np.load(cache_file, mmap_mode=None)
-    if K is None:
-        K = np.asarray((A @ A.T).todense(), dtype)
-        if cache_file is not None:
-            np.save(cache_file, K)
-    Kp = np.zeros((n_pad, n_pad), dtype)
-    Kp[:n, :n] = K
+    if device_build is None:
+        device_build = jax.default_backend() != "cpu"
+
+    Kd = None
+    if device_build:
+        Kd = _build_K_device(A, n_pad, np.dtype(dtype))
+    else:
+        K = None
+        cache_file = None
+        if cache_dir is not None:
+            Path(cache_dir).mkdir(parents=True, exist_ok=True)
+            cache_file = Path(cache_dir) / f"gram_{_cache_key(A, x0)}.npy"
+            if cache_file.exists():
+                K = np.load(cache_file, mmap_mode=None)
+        if K is None:
+            K = np.asarray((A @ A.T).todense(), dtype)
+            if cache_file is not None:
+                np.save(cache_file, K)
+        Kp = np.zeros((n_pad, n_pad), dtype)
+        Kp[:n, :n] = K
 
     Ax0 = np.zeros(n_pad, dtype)
     Ax0[:n] = A @ x0
@@ -129,7 +184,8 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
     mask = np.zeros(n_pad, dtype)
     mask[:n] = 1
 
-    Kd = jnp.asarray(Kp)
+    if Kd is None:
+        Kd = jnp.asarray(Kp)
     if low_res_lanczos is None:
         # bf16 Lanczos only pays off when fp32 Lanczos would be the
         # bottleneck (fp64 verification runs keep everything exact)

@@ -99,3 +99,16 @@ def test_gram_krylov_converges_deep(gram_problem):
         np.asarray(gd.K) @ np.asarray(st.zeta)
     np.testing.assert_allclose(np.asarray(st.Ax), want, rtol=1e-8,
                                atol=1e-10)
+
+
+def test_device_K_build_matches_host(gram_problem):
+    """_build_K_device (scatter + MXU GEMM) == scipy A @ A.T."""
+    from krylov_crn_tpu.ops.gram import _build_K_device
+
+    A, b, x0 = gram_problem
+    n = A.shape[0]
+    n_pad = ((n + 255) // 256) * 256
+    K = np.asarray(_build_K_device(A, n_pad, np.float64, col_block=256))
+    np.testing.assert_allclose(K[:n, :n], (A @ A.T).toarray(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(K[n:], 0)
