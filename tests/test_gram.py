@@ -112,3 +112,27 @@ def test_device_K_build_matches_host(gram_problem):
     np.testing.assert_allclose(K[:n, :n], (A @ A.T).toarray(),
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_array_equal(K[n:], 0)
+
+
+def test_gram_crn_matches_standard_cg(gram_problem):
+    """Gram-space CRN-CG tracks the d-space CRN-CG solver."""
+    from krylov_crn_tpu.solvers.crn_gram import GramCRN
+
+    A, b, x0 = gram_problem
+    it_max = 6
+
+    from krylov_crn_tpu import CubicNewton
+
+    loss_std = LogisticRegression(A, b, want_dense=False)
+    std = CubicNewton(loss=loss_std, reg_coef=1e-3, cubic_solver="CG",
+                      tolerance=1e-8, tqdm=False, label="std")
+    std.run(x0=x0, it_max=it_max)
+
+    loss_gram = LogisticRegression(A, b)
+    gram = GramCRN(loss=loss_gram, reg_coef=1e-3, tolerance=1e-8,
+                   tqdm=False, label="gram")
+    gram.run(x0=x0, it_max=it_max)
+
+    assert abs(float(gram.state.value) - float(std.state.value)) < 1e-8
+    assert abs(float(gram.state.grad_norm) - float(std.state.grad_norm)) \
+        < 1e-6 * max(1.0, float(std.state.grad_norm))
