@@ -46,6 +46,11 @@ def build_parser():
                    help="shard rows over N devices (0 = single device)")
     p.add_argument("--no-bench-run", action="store_true",
                    help="skip the 5x-budget benchmark run used for f*")
+    p.add_argument("--solver", default="auto",
+                   choices=["auto", "gram", "coo"],
+                   help="compute path: gram = dense-K MXU formulation "
+                        "(n <= ~45k), coo = sparse gather path, auto = "
+                        "pick per problem shape")
     p.add_argument("--out-dir", default="figs")
     p.add_argument("--results-dir", default=None,
                    help="pickle traces into this directory")
@@ -95,45 +100,64 @@ def main(argv=None):
 
     from krylov_crn_tpu.models.logistic import LogisticRegression
     from krylov_crn_tpu.solvers import SSCN, CubicKrylov, CubicNewton
+    from krylov_crn_tpu.solvers.crn_gram import GramCRN
+    from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
 
     dtype = args.dtype and np.dtype(args.dtype)
+    # Gram path: dense n x n K fits and beats gather-bound sparse kernels
+    # (see PERF.md); COO path otherwise.
+    use_gram = args.solver == "gram" or (
+        args.solver == "auto" and n <= 45056 and n <= 4 * dim)
+    mesh = None
     if args.mesh:
         from krylov_crn_tpu.parallel.mesh import make_mesh
-        from krylov_crn_tpu.parallel.sharded import build_sharded_dual
 
         mesh = make_mesh(args.mesh)
-        data = build_sharded_dual(A, mesh,
-                                  dtype=dtype or np.float32)
+
+    if mesh is not None and not use_gram:
+        from krylov_crn_tpu.parallel.sharded import build_sharded_dual
+
+        data = build_sharded_dual(A, mesh, dtype=dtype or np.float32)
         loss = LogisticRegression(data, b, l2=args.l2, dtype=dtype)
-        loss_csc = loss  # partials unsupported sharded; SSCN runs dense-b
+        loss_csc = loss  # partials unsupported sharded
     else:
         loss = LogisticRegression(A, b, l2=args.l2, dtype=dtype)
         # the reference builds a CSC copy for SSCN (cubic_newton.py:55-59);
         # our DualSparse already stores the transpose, so one more oracle
         # instance only serves the f* = min(f_opt, f_opt_csc) protocol
         loss_csc = LogisticRegression(loss.data, b, l2=args.l2, dtype=dtype)
+        loss_csc.A_host = getattr(loss, "A_host", None)
 
     x0 = np.ones(dim) * 0.5
     it_max, time_max = args.it_max, args.time_max
 
     # ---- algorithms (constructor grid of cubic_newton.py:63-88) ----
     memory_size = args.krylov_dim
-    cub_krylov = CubicKrylov(loss=loss, reg_coef=1e-3,
-                             label=f"Krylov CRN (m = {memory_size})",
-                             subspace_dim=memory_size, tolerance=1e-9)
+    krylov_cls = GramKrylov if use_gram else CubicKrylov
+    krylov_kw = dict(mesh=mesh) if use_gram else {}
+    print(f"[cli] solver path: {'gram' if use_gram else 'coo'}"
+          + (f" (mesh={args.mesh})" if mesh is not None else ""))
+    cub_krylov = krylov_cls(loss=loss, reg_coef=1e-3,
+                            label=f"Krylov CRN (m = {memory_size})",
+                            subspace_dim=memory_size, tolerance=1e-9,
+                            **krylov_kw)
     memory_size_bench = 2 * memory_size
-    cub_krylov_bench = CubicKrylov(
+    cub_krylov_bench = krylov_cls(
         loss=loss, reg_coef=1e-3,
         label=f"Benchmark Krylov CRN (m = {memory_size_bench})",
-        subspace_dim=memory_size_bench, tolerance=1e-9)
+        subspace_dim=memory_size_bench, tolerance=1e-9, **krylov_kw)
     cubic_solver = "full" if dim < 500 else "CG"
-    cub_root = CubicNewton(loss=loss, reg_coef=1e-3, label="CRN",
-                           cubic_solver=cubic_solver, tolerance=1e-8)
+    if cubic_solver == "CG" and use_gram:
+        cub_root = GramCRN(loss=loss, reg_coef=1e-3, label="CRN",
+                           tolerance=1e-8, **krylov_kw)
+    else:
+        cub_root = CubicNewton(loss=loss, reg_coef=1e-3, label="CRN",
+                               cubic_solver=cubic_solver, tolerance=1e-8)
     sscn_list = [
         SSCN(loss=loss_csc, reg_coef=1e-3, label=f"SSCN (m = {m})",
              subspace_dim=m, tolerance=1e-9)
         for m in m_list
-    ] if not args.mesh else []
+    ] if (mesh is None or use_gram) else []
 
     # ---- run grid (cubic_newton.py:91-111) ----
     print(f"Running optimizer: {cub_root.label}")

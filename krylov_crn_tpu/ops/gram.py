@@ -142,12 +142,19 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 65536,
 
 def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
                low_res_lanczos: bool | None = None,
-               device_build: bool | None = None) -> GramData:
+               device_build: bool | None = None,
+               mesh=None) -> GramData:
     """Build GramData from a scipy CSR matrix.
 
     K = A A^T is iterate-independent. On accelerator backends it is built
     on-device (streamed column blocks + MXU GEMM, see _build_K_device); on
     CPU it uses scipy's sparse matmul with an optional disk cache.
+
+    ``mesh``: optional 1-D device mesh — K is laid out row-sharded over
+    the "data" axis (everything else replicated); under jit GSPMD then
+    executes each K-matvec as a local (n/D x n) matvec + all-gather, so
+    per-device HBM traffic scales 1/D. This is the multi-chip scaling
+    path for the Gram solver.
     """
     import scipy.sparse as sp
 
@@ -191,9 +198,27 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
         # bottleneck (fp64 verification runs keep everything exact)
         low_res_lanczos = np.dtype(dtype) == np.float32
     K_lr = Kd.astype(jnp.bfloat16) if low_res_lanczos else None
+
+    Ax0_d = jnp.asarray(Ax0)
+    b_d = jnp.asarray(bp)
+    mask_d = jnp.asarray(mask)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from krylov_crn_tpu.parallel.mesh import DATA_AXIS
+
+        row_shard = NamedSharding(mesh, P(DATA_AXIS, None))
+        repl = NamedSharding(mesh, P())
+        Kd = jax.device_put(Kd, row_shard)
+        if K_lr is not None:
+            K_lr = jax.device_put(K_lr, row_shard)
+        Ax0_d = jax.device_put(Ax0_d, repl)
+        b_d = jax.device_put(b_d, repl)
+        mask_d = jax.device_put(mask_d, repl)
+
     return GramData(
-        K=Kd, Ax0=jnp.asarray(Ax0), b=jnp.asarray(bp),
-        mask=jnp.asarray(mask),
+        K=Kd, Ax0=Ax0_d, b=b_d,
+        mask=mask_d,
         x0_sqnorm=jnp.asarray(float(x0 @ x0), dtype),
         K_lr=K_lr,
         n=n, d=d, nnz=int(A.nnz),

@@ -229,7 +229,7 @@ class GramKrylov(Optimizer):
 
     def __init__(self, reg_coef=None, subspace_dim=100, solver_eps=1e-8,
                  beta=0.5, solver_it_max=100, ls_max=20, reorth_passes=1,
-                 cache_dir=None, *args, **kwargs):
+                 cache_dir=None, mesh=None, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.subspace_dim = int(subspace_dim)
         self.solver_eps = float(solver_eps)
@@ -238,6 +238,7 @@ class GramKrylov(Optimizer):
         self.ls_max = int(ls_max)
         self.reorth_passes = int(reorth_passes)
         self.cache_dir = cache_dir
+        self.mesh = mesh
         self.reg_coef = (self.loss.hessian_lipschitz if reg_coef is None
                          else float(reg_coef))
         self.gd: GramData | None = None
@@ -254,7 +255,8 @@ class GramKrylov(Optimizer):
         self._x0_host = x0h
         dtype = np.dtype(loss.b.dtype)
         self.gd = build_gram(A, np.asarray(loss.b)[: A.shape[0]], x0h,
-                             dtype=dtype, cache_dir=self.cache_dir)
+                             dtype=dtype, cache_dir=self.cache_dir,
+                             mesh=self.mesh)
         cdt = jnp.dtype(dtype)
         npad = self.gd.n_padded
         adt = _accum_dtype(cdt)

@@ -103,3 +103,28 @@ def test_sharded_krylov_run_matches_single(mesh):
     np.testing.assert_allclose(np.asarray(t8.xs[-1]), np.asarray(t1.xs[-1]),
                                rtol=1e-8, atol=1e-10)
     assert abs(float(alg_8.state.value) - float(alg_1.state.value)) < 1e-12
+
+
+def test_gram_sharded_K_matches_single(mesh):
+    """Row-sharded K (GSPMD) Gram solver == single-device Gram solver."""
+    from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
+
+    A = sp.random(520, 700, density=0.05, random_state=9, format="csr")
+    rng = np.random.default_rng(4)
+    b = np.where(rng.standard_normal(520) > 0, 1.0, -1.0)
+    x0 = np.ones(700) * 0.5
+
+    loss1 = LogisticRegression(A, b)
+    g1 = GramKrylov(loss=loss1, reg_coef=1e-3, subspace_dim=8,
+                    tqdm=False, label="single")
+    g1.run(x0=x0, it_max=10)
+
+    loss8 = LogisticRegression(A, b)
+    g8 = GramKrylov(loss=loss8, reg_coef=1e-3, subspace_dim=8,
+                    tqdm=False, label="sharded", mesh=mesh)
+    g8.run(x0=x0, it_max=10)
+
+    assert abs(float(g8.state.value) - float(g1.state.value)) < 1e-10
+    np.testing.assert_allclose(np.asarray(g8.state.zeta),
+                               np.asarray(g1.state.zeta),
+                               rtol=1e-8, atol=1e-11)
