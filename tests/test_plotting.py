@@ -1,0 +1,48 @@
+"""Trace plotting and the CLI figure pipeline (Agg backend)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+from krylov_crn_tpu import CubicKrylov, LogisticRegression
+
+
+def test_plot_losses_and_distances(small_problem, tmp_path):
+    A, b, x0 = small_problem
+    loss = LogisticRegression(A, b)
+    alg = CubicKrylov(loss=loss, reg_coef=1e-3, subspace_dim=6,
+                      tqdm=False, label="k")
+    trace = alg.run(x0=x0, it_max=10)
+    alg.compute_loss_of_iterates()
+
+    plt.figure()
+    trace.plot_losses(marker="v", markersize=5, f_opt=loss.f_opt)
+    trace.plot_losses(time=True, label="k-time")
+    plt.yscale("log")
+    plt.legend()
+    out = tmp_path / "losses.pdf"
+    plt.savefig(out)
+    assert out.stat().st_size > 0
+    plt.close("all")
+
+    plt.figure()
+    trace.plot_distances()
+    plt.savefig(tmp_path / "dists.pdf")
+    plt.close("all")
+
+
+def test_cli_end_to_end(tmp_path, monkeypatch):
+    """Tiny synthetic CLI run producing a figure."""
+    from krylov_crn_tpu import cli
+
+    rc = cli.main([
+        "--dataset", "w8a", "--synthetic", "--it_max", "3",
+        "--time_max", "600", "--no-bench-run", "--SSCN_dim", "4",
+        "--krylov_dim", "4", "--out-dir", str(tmp_path),
+        "--solver", "coo",
+    ])
+    assert rc == 0
+    assert (tmp_path / "iteration_w8a.pdf").stat().st_size > 0
