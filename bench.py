@@ -40,6 +40,10 @@ def bench_ours(A, b, x0):
     import jax
     import jax.numpy as jnp
 
+    from krylov_crn_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from krylov_crn_tpu.models.logistic import LogisticRegression
     from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
     from krylov_crn_tpu.solvers.krylov_gram import (
@@ -83,15 +87,23 @@ def bench_reference(A, b, x0):
     except ImportError:
         sys.path.remove("/root/reference")
         return None
-    loss = RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True)
-    alg = Cubic_Krylov_LS(loss=loss, reg_coef=1e-3, subspace_dim=M,
-                          tolerance=0, label="ref", tqdm=False)
-    # warm-up (scipy/numpy caches, margins cache)
-    alg.run(x0=x0, it_max=3, t_max=1e9)
+    # warm-up instance (numpy/scipy internal caches)
+    warm = Cubic_Krylov_LS(
+        loss=RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True),
+        reg_coef=1e-3, subspace_dim=M, tolerance=0, label="warm",
+        tqdm=False)
+    warm.run(x0=x0, it_max=3, t_max=1e9)
+    # timed fresh instance (a finished seed makes .run() a no-op,
+    # optimizer.py:70-71, so the timed run must be a new optimizer)
+    alg = Cubic_Krylov_LS(
+        loss=RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True),
+        reg_coef=1e-3, subspace_dim=M, tolerance=0, label="ref",
+        tqdm=False)
     t0 = time.perf_counter()
-    alg.run(x0=x0, it_max=3 + N_TIMED, t_max=1e9)
+    alg.run(x0=x0, it_max=N_TIMED, t_max=1e9)
     dt = time.perf_counter() - t0
     sys.path.remove("/root/reference")
+    assert alg.it >= N_TIMED
     return N_TIMED / dt
 
 

@@ -55,6 +55,18 @@ class Precision:
         return jnp.dtype(self.compute_dtype)
 
 
+def enable_compilation_cache(path: str = "/root/.cache/jax_comp",
+                             min_compile_secs: float = 2.0) -> None:
+    """Persistent XLA compilation cache — compiles on this stack can cold-
+    start in minutes (see PERF.md), so caching across processes matters."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+    except Exception:
+        pass
+
+
 def default_precision() -> Precision:
     """fp64 everywhere when x64 is on (CPU verification), else fp32+fp64."""
     if x64_enabled():

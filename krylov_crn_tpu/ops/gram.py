@@ -93,13 +93,17 @@ def _cache_key(A, x0) -> str:
     return h.hexdigest()[:16]
 
 
-def _build_K_device(A, n_pad: int, dtype, col_block: int = 65536,
+def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
                     precision=None):
-    """K = A A^T computed on-device: stream column blocks, densify each by
-    one scatter (index arrays are jit args — the only data crossing the
-    host->device link is the nnz arrays, ~12B/nnz), then MXU GEMMs
-    K += B_blk @ B_blk^T. Orders of magnitude cheaper than shipping a
-    dense n^2 K through the host link."""
+    """K = A A^T computed on-device: stream fixed-size column panels,
+    densify each with one scatter (index arrays are jit args — only
+    ~12 B/nnz crosses the host link), then MXU GEMMs K += B @ B^T.
+
+    Scatter *compile* time on this stack scales with the target array's
+    cell count (a 1e9-cell scatter took ~7 min to compile), so the panel
+    is a fixed modest (n_pad x 2048) shape and per-panel nnz is padded to
+    power-of-two buckets — a handful of compilations total, shared across
+    panels and (for equal n_pad) across datasets."""
     import functools
 
     if precision is None:
@@ -108,12 +112,6 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 65536,
     n, d = map(int, A.shape)
     cb = min(_round_up(d, 512), col_block)
     nblk = -(-d // cb)
-    # uniform nnz padding across blocks -> a single compiled accumulator
-    blk_nnz = 0
-    for i in range(nblk):
-        c0, c1 = i * cb, min((i + 1) * cb, d)
-        blk_nnz = max(blk_nnz, int(Acsc.indptr[c1] - Acsc.indptr[c0]))
-    blk_nnz = max(_round_up(blk_nnz, 1024), 1024)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def accum(K, rows, colpos, vals):
@@ -121,6 +119,12 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 65536,
         B = B.at[rows, colpos].add(vals)
         return K + jax.lax.dot_general(
             B, B, (((1,), (1,)), ((), ())), precision=precision)
+
+    def bucket(x):
+        b = 4096
+        while b < x:
+            b *= 2
+        return b
 
     K = jnp.zeros((n_pad, n_pad), dtype)
     for i in range(nblk):
@@ -130,6 +134,7 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 65536,
         vals = Acsc.data[s:e].astype(dtype)
         counts = np.diff(Acsc.indptr[c0:c1 + 1])
         colpos = np.repeat(np.arange(c1 - c0, dtype=np.int32), counts)
+        blk_nnz = bucket(max(len(rows), 1))
         pad = blk_nnz - len(rows)
         # padding entries carry zero values into row 0 / local col 0
         rows = np.concatenate([rows, np.zeros(pad, np.int32)])
