@@ -37,6 +37,7 @@ complements the dense-A path (small d) and the COO path (fallback).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import hashlib
 import os
 from pathlib import Path
@@ -93,19 +94,58 @@ def _cache_key(A, x0) -> str:
     return h.hexdigest()[:16]
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("prec",))
+def _scan_build_K(K, B, R, C, V, F, prec):
+    """The device program of _build_K_device: scan over uniform nnz
+    chunks, scattering into the panel buffer B and GEMM-flushing into K
+    at each end-of-panel flag. Module-level so jax.jit's cache (and the
+    persistent compilation cache) key on shapes, not closure identity.
+
+    The flush is *masked* (GEMM every chunk, accumulate/reset scaled by
+    the flag) rather than a ``lax.cond``: the cond variant of this body
+    compiled in 221 s on this stack vs 4.8 s for the masked one, and
+    chunk sizing keeps the surplus GEMMs near zero (most panels are a
+    single chunk)."""
+
+    def body(carry, triple):
+        K, B = carry
+        r, c, v, f = triple
+        B = B.at[r, c.astype(jnp.int32)].add(v)
+        G = jax.lax.dot_general(
+            B, B, (((1,), (1,)), ((), ())), precision=prec)
+        fK = f.astype(K.dtype)
+        K = K + fK * G
+        B = B * (1.0 - fK)
+        return (K, B), ()
+
+    (K, B), _ = jax.lax.scan(body, (K, B), (R, C, V, F))
+    return K, B
+
+
 def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
-                    precision=None):
-    """K = A A^T computed on-device: stream fixed-size column panels,
-    densify each with one scatter (index arrays are jit args — only
-    ~12 B/nnz crosses the host link), then MXU GEMMs K += B @ B^T.
+                    precision=None, chunk_nnz: int | None = None):
+    """K = A A^T computed on-device as ONE XLA program.
 
-    Scatter *compile* time on this stack scales with the target array's
-    cell count (a 1e9-cell scatter took ~7 min to compile), so the panel
-    is a fixed modest (n_pad x 2048) shape and per-panel nnz is padded to
-    power-of-two buckets — a handful of compilations total, shared across
-    panels and (for equal n_pad) across datasets."""
-    import functools
+    Column panels of width ``col_block`` are densified by scatter into a
+    (n_pad x cb) buffer B and MXU-GEMM'd into K (K += B @ B^T); only
+    ~10 B/nnz crosses the host link. Three hardware constraints shape the
+    design (all measured, see PERF.md):
 
+    * scatter *compile* time scales with the target array's cell count
+      (a 1e9-cell scatter took ~7 min to compile), so the panel buffer is
+      a fixed modest (n_pad x 2048) shape;
+    * XLA compiles on this stack cost seconds and per-dispatch overhead
+      through the relayed PJRT transport is large relative to the ~70 ms
+      of per-panel device work (a per-panel dispatch loop measured 28 s
+      against 1.7 s of device time for rcv1's 24 panels) — so the whole
+      build is a single ``lax.scan`` compiled once per dataset (and
+      persisted via the compilation cache);
+    * a scan needs uniform shapes: the nnz stream is cut into fixed-size
+      chunks (padded; sized to the mean panel nnz so padding waste stays
+      bounded), each tagged with an end-of-panel flag that triggers the
+      GEMM flush via ``lax.cond``.
+    """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     Acsc = A.tocsc()
@@ -113,35 +153,60 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     cb = min(_round_up(d, 512), col_block)
     nblk = -(-d // cb)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def accum(K, rows, colpos, vals):
-        B = jnp.zeros((n_pad, cb), dtype)
-        B = B.at[rows, colpos].add(vals)
-        return K + jax.lax.dot_general(
-            B, B, (((1,), (1,)), ((), ())), precision=precision)
+    if chunk_nnz is None:
+        mean_panel = max(int(Acsc.nnz) // nblk, 1)
+        chunk_nnz = 8192
+        while chunk_nnz < mean_panel and chunk_nnz < 131072:
+            chunk_nnz *= 2
 
-    def bucket(x):
-        b = 4096
-        while b < x:
-            b *= 2
-        return b
-
-    K = jnp.zeros((n_pad, n_pad), dtype)
+    # host prep: per-panel COO triples cut into uniform padded chunks
+    R_parts, C_parts, V_parts, flags = [], [], [], []
     for i in range(nblk):
         c0, c1 = i * cb, min((i + 1) * cb, d)
         s, e = int(Acsc.indptr[c0]), int(Acsc.indptr[c1])
         rows = Acsc.indices[s:e].astype(np.int32)
         vals = Acsc.data[s:e].astype(dtype)
         counts = np.diff(Acsc.indptr[c0:c1 + 1])
-        colpos = np.repeat(np.arange(c1 - c0, dtype=np.int32), counts)
-        blk_nnz = bucket(max(len(rows), 1))
-        pad = blk_nnz - len(rows)
+        colpos = np.repeat(np.arange(c1 - c0, dtype=np.int16), counts)
+        nnzp = len(rows)
+        nch = max(1, -(-nnzp // chunk_nnz))
+        pad = nch * chunk_nnz - nnzp
         # padding entries carry zero values into row 0 / local col 0
-        rows = np.concatenate([rows, np.zeros(pad, np.int32)])
-        colpos = np.concatenate([colpos, np.zeros(pad, np.int32)])
-        vals = np.concatenate([vals, np.zeros(pad, dtype)])
-        K = accum(K, jnp.asarray(rows), jnp.asarray(colpos),
-                  jnp.asarray(vals))
+        R_parts.append(np.concatenate([rows, np.zeros(pad, np.int32)]))
+        C_parts.append(np.concatenate([colpos, np.zeros(pad, np.int16)]))
+        V_parts.append(np.concatenate([vals, np.zeros(pad, dtype)]))
+        f = np.zeros(nch, bool)
+        f[-1] = True  # last chunk of the panel flushes B into K
+        flags.append(f)
+
+    R = np.concatenate(R_parts).reshape(-1, chunk_nnz)
+    C = np.concatenate(C_parts).reshape(-1, chunk_nnz)
+    V = np.concatenate(V_parts).reshape(-1, chunk_nnz)
+    F = np.concatenate(flags)
+
+    # Bound each dispatch to ~256 chunks (~15 s of device work): a single
+    # program with minutes of device time crashes/restarts the TPU worker
+    # through the relayed transport (observed on news20-scale builds).
+    # B carries partially-scattered panels across segment boundaries. The
+    # last segment is padded with no-op chunks (zero values, flag off) so
+    # every dispatch reuses the one compiled (256-chunk) program.
+    seg = 256
+    nchunks = R.shape[0]
+    pad_ch = (-nchunks) % seg if nchunks > seg else 0
+    if pad_ch:
+        R = np.concatenate([R, np.zeros((pad_ch, chunk_nnz), np.int32)])
+        C = np.concatenate([C, np.zeros((pad_ch, chunk_nnz), np.int16)])
+        V = np.concatenate([V, np.zeros((pad_ch, chunk_nnz), dtype)])
+        F = np.concatenate([F, np.zeros(pad_ch, bool)])
+        nchunks += pad_ch
+
+    K = jnp.zeros((n_pad, n_pad), dtype)
+    B = jnp.zeros((n_pad, cb), dtype)
+    for s in range(0, nchunks, seg):
+        e = min(s + seg, nchunks)
+        K, B = _scan_build_K(K, B, jnp.asarray(R[s:e]), jnp.asarray(C[s:e]),
+                             jnp.asarray(V[s:e]), jnp.asarray(F[s:e]),
+                             prec=precision)
     return K
 
 
@@ -173,6 +238,11 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
 
     Kd = None
     if device_build:
+        # K-build programs take seconds to compile on this stack; persist
+        # them so repeat runs on the same dataset shape skip the compile
+        from krylov_crn_tpu.config import enable_compilation_cache
+
+        enable_compilation_cache()
         Kd = _build_K_device(A, n_pad, np.dtype(dtype))
     else:
         K = None

@@ -111,11 +111,17 @@ class Trace:
         return np.min(self.loss_vals)
 
     def save(self, file_name, path="./results/"):
-        """Pickle (iterates as numpy, loss handle dropped; opt_trace.py:102)."""
+        """Pickle (iterates as numpy, loss handle dropped; opt_trace.py:102).
+
+        Checkpoints may be plain iterates (arrays) or solver-specific
+        pytrees (e.g. the Gram solvers' (gamma, zeta, Ax) reps) — each
+        leaf is pulled to host numpy, preserving the structure."""
+        import jax
+
         loss_ref = self.loss
         self.loss = None
         xs_ref = self.xs
-        self.xs = [np.asarray(x) for x in xs_ref]
+        self.xs = [jax.tree.map(np.asarray, x) for x in xs_ref]
         Path(path).mkdir(parents=True, exist_ok=True)
         with open(os.path.join(path, file_name), "wb") as f:
             pickle.dump(self, f)
