@@ -219,6 +219,32 @@ def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
     return jax.lax.scan(body, state, None, length=chunk)
 
 
+class RepMaterializer:
+    """Picklable rep -> x converter: x = gamma * x0 + A^T zeta.
+
+    Travels inside pickled traces (Trace.save nulls the loss handle and
+    Trace.from_pickle re-attaches it), so distance plots and loss
+    re-evaluation work on reloaded Gram traces whose checkpoints are
+    compact (gamma, zeta, Ax) reps rather than explicit d-vectors."""
+
+    def __init__(self, x0, loss=None):
+        self.x0 = np.asarray(x0, np.float64)
+        self.loss = loss
+
+    def __call__(self, ck):
+        from krylov_crn_tpu.ops.spmv import rmatvec
+
+        if self.loss is None:
+            raise ValueError(
+                "RepMaterializer has no loss attached; load the trace via "
+                "Trace.from_pickle(path, loss=...) to materialize iterates")
+        data = self.loss.data
+        z = jnp.asarray(ck.zeta)[: data.n]
+        at = rmatvec(data, z.astype(self.loss.b.dtype))
+        return jnp.asarray(ck.gamma, at.dtype) * jnp.asarray(
+            self.x0, at.dtype) + at
+
+
 class GramKrylov(Optimizer):
     """Krylov CRN over the Gram-space representation.
 
@@ -308,6 +334,10 @@ class GramKrylov(Optimizer):
             gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
             x_sqnorm=_x_sqnorm(self.gd, st.gamma, st.zeta, st.Ax, adt),
         )]
+        # checkpoints are reps; plotting/analysis that needs explicit
+        # iterates converts through this (one transpose SpMV each); the
+        # converter is picklable and survives Trace.save/from_pickle
+        self.trace.materializer = RepMaterializer(self._x0_host, self.loss)
 
     def run_fused(self, x0, it_max, t_max=np.inf, chunk=16, seed=42):
         """Device-fused run: `chunk` iterations per dispatch (lax.scan),
@@ -370,11 +400,7 @@ class GramKrylov(Optimizer):
 
     def materialize(self, ck: GramCheckpoint):
         """x = gamma * x0 + A^T zeta (one transpose SpMV, on demand)."""
-        from krylov_crn_tpu.ops.spmv import rmatvec
-
-        z = ck.zeta[: self.gd.n]
-        at = rmatvec(self.loss.data, z.astype(self.loss.b.dtype))
-        return ck.gamma * jnp.asarray(self._x0_host, at.dtype) + at
+        return RepMaterializer(self._x0_host, self.loss)(ck)
 
     def compute_loss_of_iterates(self):
         """O(n) per checkpoint from stored margins — no SpMV re-eval pass

@@ -32,13 +32,24 @@ class Trace:
         self.solver_its = None
         self.its_converted_to_epochs = False
         self.ls_its = None
+        # solvers whose checkpoints are compact reps rather than explicit
+        # iterates (the Gram solvers) install a rep -> x converter here
+        self.materializer = None
+
+    def _iterate(self, x):
+        """Explicit iterate for a stored checkpoint (materializing a rep
+        through the solver-installed converter when needed)."""
+        mat = getattr(self, "materializer", None)
+        if mat is not None and not hasattr(x, "shape"):
+            return mat(x)
+        return x
 
     def compute_loss_of_iterates(self):
         """Evaluate f at every stored iterate (fresh SpMV each — the
         post-run re-evaluation pass, opt_trace.py:39-43)."""
         if len(self.loss_vals) == 0:
             self.loss_vals = np.asarray(
-                [self.loss.value(x) for x in self.xs]
+                [self.loss.value(self._iterate(x)) for x in self.xs]
             )
         else:
             warnings.warn(
@@ -93,13 +104,15 @@ class Trace:
             else:
                 its = self.its
         if x_opt is None:
-            x_opt = (self.xs[-1] if getattr(self.loss, "x_opt", None) is None
+            x_opt = (self._iterate(self.xs[-1])
+                     if getattr(self.loss, "x_opt", None) is None
                      else self.loss.x_opt)
         if label is None:
             label = self.label
         if markevery is None:
             markevery = max(1, len(self.xs) // 20)
-        dists = [float(np.linalg.norm(np.asarray(x) - np.asarray(x_opt)) ** 2)
+        dists = [float(np.linalg.norm(np.asarray(self._iterate(x))
+                                      - np.asarray(x_opt)) ** 2)
                  for x in self.xs]
         plt.plot(its, dists, label=label, markevery=markevery, *args, **kwargs)
         plt.ylabel(r"$\Vert x-x^*\Vert^2$")
@@ -119,13 +132,24 @@ class Trace:
         import jax
 
         loss_ref = self.loss
+        mat_ref = self.materializer
         self.loss = None
+        # a materializer that carries its own loss handle (RepMaterializer)
+        # is pickled with the handle nulled and re-attached by from_pickle;
+        # anything else (e.g. a solver-bound method) is dropped
+        if hasattr(mat_ref, "loss"):
+            mat_ref.loss = None
+        else:
+            self.materializer = None
         xs_ref = self.xs
         self.xs = [jax.tree.map(np.asarray, x) for x in xs_ref]
         Path(path).mkdir(parents=True, exist_ok=True)
         with open(os.path.join(path, file_name), "wb") as f:
             pickle.dump(self, f)
         self.loss = loss_ref
+        self.materializer = mat_ref
+        if hasattr(mat_ref, "loss"):
+            mat_ref.loss = loss_ref
         self.xs = xs_ref
 
     @classmethod
@@ -135,6 +159,9 @@ class Trace:
         with open(path, "rb") as f:
             trace = pickle.load(f)
         trace.loss = loss
+        mat = getattr(trace, "materializer", None)
+        if mat is not None and hasattr(mat, "loss"):
+            mat.loss = loss
         if loss is not None and len(trace.loss_vals):
             # note: fixes the reference's latent bug at opt_trace.py:119
             # (class-level attribute access instead of the loaded instance)

@@ -46,3 +46,41 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert (tmp_path / "iteration_w8a.pdf").stat().st_size > 0
+
+
+def test_gram_trace_distances_save_roundtrip(small_problem, tmp_path):
+    """Gram checkpoints are (gamma, zeta, Ax) reps: plot_distances must
+    materialize them, and save/from_pickle must survive the pytree
+    checkpoints + the solver-bound materializer."""
+    from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
+    from krylov_crn_tpu.utils.trace import Trace
+
+    A, b, x0 = small_problem
+    loss = LogisticRegression(A, b)
+    alg = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=6,
+                     tqdm=False, label="gram")
+    trace = alg.run(x0=x0, it_max=8)
+    alg.compute_loss_of_iterates()
+
+    plt.figure()
+    trace.plot_distances()
+    plt.savefig(tmp_path / "gram_dists.pdf")
+    plt.close("all")
+
+    trace.save("gram.pkl", path=str(tmp_path))
+    assert trace.materializer is not None  # restored after pickling
+    loaded = Trace.from_pickle(str(tmp_path / "gram.pkl"), loss=loss)
+    assert len(loaded.xs) == len(trace.xs)
+    # loaded checkpoints are host-numpy pytrees with the values intact
+    np.testing.assert_allclose(
+        np.asarray(loaded.xs[-1].Ax), np.asarray(trace.xs[-1].Ax),
+        rtol=1e-12)
+    assert np.isclose(loaded.best_loss_value, trace.best_loss_value)
+    # the reloaded trace can still materialize reps (picklable
+    # RepMaterializer re-attached to the loss by from_pickle)
+    plt.figure()
+    loaded.plot_distances()
+    plt.close("all")
+    x_last = np.asarray(loaded.materializer(loaded.xs[-1]))
+    np.testing.assert_allclose(
+        x_last, np.asarray(alg.materialize(trace.xs[-1])), rtol=1e-10)
