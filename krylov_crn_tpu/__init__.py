@@ -34,7 +34,7 @@ Design rules that shape everything here (measured on TPU v5e):
 
 __version__ = "0.1.0"
 
-from krylov_crn_tpu.config import enable_x64, Precision  # noqa: F401
+from krylov_crn_tpu.config import enable_x64  # noqa: F401
 from krylov_crn_tpu.data.formats import SparseMatrix, DualSparse  # noqa: F401
 from krylov_crn_tpu.models.logistic import LogisticRegression  # noqa: F401
 from krylov_crn_tpu.solvers.krylov_crn import CubicKrylov  # noqa: F401

@@ -46,6 +46,10 @@ def build_parser():
                    help="shard rows over N devices (0 = single device)")
     p.add_argument("--no-bench-run", action="store_true",
                    help="skip the 5x-budget benchmark run used for f*")
+    p.add_argument("--fused", action="store_true",
+                   help="run Gram solvers chunk-fused on device "
+                        "(full-resolution loss trace, host sync only at "
+                        "chunk boundaries)")
     p.add_argument("--solver", default="auto",
                    choices=["auto", "gram", "coo"],
                    help="compute path: gram = dense-K MXU formulation "
@@ -153,11 +157,21 @@ def main(argv=None):
     else:
         cub_root = CubicNewton(loss=loss, reg_coef=1e-3, label="CRN",
                                cubic_solver=cubic_solver, tolerance=1e-8)
-    sscn_list = [
-        SSCN(loss=loss_csc, reg_coef=1e-3, label=f"SSCN (m = {m})",
-             subspace_dim=m, tolerance=1e-9)
-        for m in m_list
-    ] if (mesh is None or use_gram) else []
+    if mesh is not None and not use_gram:
+        # SSCN's coordinate-panel gathers have no sharded implementation
+        # (logreg_partials raises on ShardedDual) — say so loudly instead
+        # of silently dropping the algorithm from the grid
+        print("[cli] WARNING: SSCN is not supported on the sharded COO "
+              "path (--mesh without the gram solver); skipping "
+              f"{len(m_list)} SSCN run(s). Use --solver gram or drop "
+              "--mesh to include SSCN.")
+        sscn_list = []
+    else:
+        sscn_list = [
+            SSCN(loss=loss_csc, reg_coef=1e-3, label=f"SSCN (m = {m})",
+                 subspace_dim=m, tolerance=1e-9)
+            for m in m_list
+        ]
 
     # ---- run grid (cubic_newton.py:91-111) ----
     print(f"Running optimizer: {cub_root.label}")
@@ -170,14 +184,26 @@ def main(argv=None):
         alg.run(x0=x0, it_max=it_max, t_max=time_max)
         alg.compute_loss_of_iterates()
 
+    fused = args.fused and use_gram
+    if args.fused and not use_gram:
+        print("[cli] --fused requires the gram solver path; ignoring")
+
     print(f"Running optimizer: {cub_krylov.label}")
-    cub_krylov.run(x0=x0, it_max=it_max, t_max=time_max)
-    cub_krylov.compute_loss_of_iterates()
+    if fused:
+        cub_krylov.run_fused(x0, it_max=it_max, t_max=time_max)
+    else:
+        cub_krylov.run(x0=x0, it_max=it_max, t_max=time_max)
+        cub_krylov.compute_loss_of_iterates()
 
     if not args.no_bench_run:
         print(f"Running optimizer: {cub_krylov_bench.label}")
-        cub_krylov_bench.run(x0=x0, it_max=5 * it_max, t_max=5 * time_max)
-        cub_krylov_bench.compute_loss_of_iterates()
+        if fused:
+            cub_krylov_bench.run_fused(x0, it_max=5 * it_max,
+                                       t_max=5 * time_max)
+        else:
+            cub_krylov_bench.run(x0=x0, it_max=5 * it_max,
+                                 t_max=5 * time_max)
+            cub_krylov_bench.compute_loss_of_iterates()
 
     if args.results_dir:
         for alg in [cub_root, cub_krylov, *sscn_list]:

@@ -1,25 +1,17 @@
-"""Global configuration: dtype policy and x64 handling.
+"""Global configuration: x64 handling and the XLA compilation cache.
 
 The reference implementation is all-fp64 NumPy/SciPy. On TPU the fast path
-is fp32 (gathers, segment sums, MXU GEMVs); fp64 exists but is emulated and
-slow for bulk work. The policy here:
-
-* bulk arrays (sparse values, iterates, Lanczos basis) — ``compute_dtype``
-  (fp32 on TPU by default);
-* scalar-critical math (Lanczos coefficients, the m x m tridiagonal
-  eigenproblem, the secular-equation Newton iteration, loss reductions) —
-  ``accum_dtype`` (fp64 when x64 is enabled, else fp32).
-
-Tests run on CPU with x64 enabled and everything fp64, which reproduces the
-reference numerics exactly.
+is fp32 (MXU GEMVs, dense HBM streaming); fp64 exists but is emulated and
+slow for bulk work. The dtype policy is threaded per-solver through the
+``accum_dtype`` argument of the jitted step functions (fp64 when x64 is
+enabled, else the compute dtype with two-float compensated reductions —
+see ops/math.py). Tests run on CPU with x64 enabled and everything fp64,
+which reproduces the reference numerics exactly.
 """
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
-import jax.numpy as jnp
 
 
 def enable_x64(enable: bool = True) -> None:
@@ -35,26 +27,6 @@ def x64_enabled() -> bool:
     return bool(jax.config.read("jax_enable_x64"))
 
 
-@dataclasses.dataclass(frozen=True)
-class Precision:
-    """Dtype policy threaded through kernels and solvers."""
-
-    compute_dtype: jnp.dtype = jnp.float32
-    accum_dtype: jnp.dtype | None = None  # None -> f64 if x64 else compute
-
-    @property
-    def accum(self):
-        if self.accum_dtype is not None:
-            return jnp.dtype(self.accum_dtype)
-        if x64_enabled():
-            return jnp.dtype(jnp.float64)
-        return jnp.dtype(self.compute_dtype)
-
-    @property
-    def compute(self):
-        return jnp.dtype(self.compute_dtype)
-
-
 def enable_compilation_cache(path: str = "/root/.cache/jax_comp",
                              min_compile_secs: float = 2.0) -> None:
     """Persistent XLA compilation cache — compiles on this stack can cold-
@@ -65,10 +37,3 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_comp",
                           min_compile_secs)
     except Exception:
         pass
-
-
-def default_precision() -> Precision:
-    """fp64 everywhere when x64 is on (CPU verification), else fp32+fp64."""
-    if x64_enabled():
-        return Precision(compute_dtype=jnp.float64)
-    return Precision(compute_dtype=jnp.float32)

@@ -32,7 +32,13 @@ from krylov_crn_tpu.data.formats import DualSparse, build_dual
 from krylov_crn_tpu.data.libsvm import canonicalize_labels
 from krylov_crn_tpu.models.base import Oracle
 from krylov_crn_tpu.ops.coords import gather_columns_dense
-from krylov_crn_tpu.ops.math import logsig, sigmoid
+from krylov_crn_tpu.ops.math import (
+    accum_dot,
+    accum_sum_pair,
+    logsig,
+    sigmoid,
+    two_sum,
+)
 from krylov_crn_tpu.ops.spmv import hvp_sparse, rmatvec, row_sqnorms, spmv
 
 __all__ = ["LogisticRegression"]
@@ -58,25 +64,33 @@ def logreg_matvec(data: DualSparse, x):
 @functools.partial(jax.jit, static_argnames=("l2", "n"))
 def logreg_value_from_margins(b, Ax, x, l2: float = 0.0, mask=None,
                               n: int | None = None):
-    """f from cached margins. ``mask``/``n`` handle padded sharded rows
-    (padding would otherwise contribute -logsig(0) = log 2 each)."""
+    """f from cached margins as a two-float (hi, lo) pair.
+
+    ``mask``/``n`` handle padded sharded rows (padding would otherwise
+    contribute -logsig(0) = log 2 each). Under x64, lo = 0 and hi is the
+    plain fp64 value; in fp32 the compensated pair resolves 1e-9 gaps
+    (see ops/math.py). Terms are scaled by 1/n before the reduction so
+    per-term rounding enters at eps*|term|/n."""
     adt = _adt(Ax)
-    terms = ((1.0 - b) * Ax - logsig(Ax)).astype(adt)
+    terms = (1.0 - b) * Ax - logsig(Ax)
     if mask is not None:
-        terms = terms * mask.astype(adt)
+        terms = terms * mask
     if n is None:
         n = Ax.shape[0]
-    val = jnp.sum(terms) / n
+    hi, lo = accum_sum_pair(terms.astype(adt) / n, adt)
     if l2:
-        val = val + l2 / 2.0 * jnp.vdot(x.astype(adt), x.astype(adt))
-    return val
+        t = jnp.asarray(l2 / 2.0, adt) * accum_dot(x, x, adt).astype(adt)
+        hi, e = two_sum(hi, t)
+        lo = lo + e
+    return hi, lo
 
 
 @functools.partial(jax.jit, static_argnames=("l2",))
 def logreg_value(data, b, x, l2: float = 0.0):
     Ax = spmv(data, x)
-    return logreg_value_from_margins(b, Ax, x, l2, mask=data_mask(data),
-                                     n=data.n), Ax
+    hi, lo = logreg_value_from_margins(b, Ax, x, l2, mask=data_mask(data),
+                                       n=data.n)
+    return hi + lo, Ax
 
 
 @functools.partial(jax.jit, static_argnames=("l2",))
@@ -213,9 +227,11 @@ class LogisticRegression(Oracle):
     def _value(self, x):
         x = jnp.asarray(x)
         Ax = self.mat_vec_product(x)
-        return logreg_value_from_margins(self.b, Ax, x, l2=self.l2,
-                                         mask=data_mask(self.data),
-                                         n=self.n)
+        hi, lo = logreg_value_from_margins(self.b, Ax, x, l2=self.l2,
+                                           mask=data_mask(self.data),
+                                           n=self.n)
+        # combine the pair on host: full precision even in fp32 runs
+        return float(hi) + float(lo)
 
     def gradient(self, x):
         x = jnp.asarray(x)
@@ -228,10 +244,18 @@ class LogisticRegression(Oracle):
         Ax = self.mat_vec_product(x)
         return logreg_hessian_dense(self.data, Ax, l2=self.l2)
 
-    def hess_vec_prod(self, x, v):
+    def hess_vec_prod(self, x, v, grad_dif=False, eps=None):
+        """Exact HVP from cached margins, or the finite-difference
+        gradient-difference fallback (loss.py:289-293) when
+        ``grad_dif=True`` with step ``eps``."""
         x = jnp.asarray(x)
+        v = jnp.asarray(v)
+        if grad_dif:
+            if eps is None:
+                raise ValueError("grad_dif HVP requires an eps step size")
+            return (self.gradient(x + eps * v) - self.gradient(x)) / eps
         Ax = self.mat_vec_product(x)
-        return logreg_hvp(self.data, Ax, jnp.asarray(v), l2=self.l2)
+        return logreg_hvp(self.data, Ax, v, l2=self.l2)
 
     def partial_gradient(self, x, I):
         x = jnp.asarray(x)

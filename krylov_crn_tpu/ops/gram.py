@@ -312,14 +312,17 @@ def rep_dot(gd: GramData, a: Rep, bv: Rep, adt):
     """<a, b> in the d-space, closed over carried images (no matvec).
 
     <a,b> = ba*bb*|x0|^2 + ba Ax0.wb + bb Ax0.wa + wa.K wb, and
-    wa.K wb = wa.(ub - bb Ax0), so the bb-terms cancel:
+    wa.K wb = wa.(ub - bb Ax0), so the bb-terms cancel. Reductions use
+    compensated (Dekker) dots when adt == storage dtype (fp32 runs).
     """
+    from krylov_crn_tpu.ops.math import accum_dot
+
     Ax0 = gd.Ax0.astype(adt)
     wa, wb = a.w.astype(adt), bv.w.astype(adt)
     ba, bb = a.beta.astype(adt), bv.beta.astype(adt)
     return (ba * bb * gd.x0_sqnorm.astype(adt)
-            + ba * jnp.dot(Ax0, wb)
-            + jnp.dot(wa, bv.u.astype(adt)))
+            + ba * accum_dot(Ax0, wb, adt)
+            + accum_dot(wa, bv.u.astype(adt), adt))
 
 
 def rep_scale(a: Rep, s) -> Rep:
@@ -356,7 +359,9 @@ def gram_lanczos(gd: GramData, hop, g: Rep, m: int,
     npad = g.w.shape[0]
 
     g_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, g, g, adt), 0.0)).astype(cdt)
-    v0 = rep_scale(g, 1.0 / g_norm)
+    # numerically-zero gradient (exact convergence): produce a zero basis
+    # rather than 0/0 NaNs — downstream steps then tie and freeze the state
+    v0 = rep_scale(g, 1.0 / jnp.where(g_norm > 0, g_norm, 1.0))
 
     Vb0 = jnp.zeros((m,), cdt).at[0].set(v0.beta)
     Vw0 = jnp.zeros((m, npad), cdt).at[0].set(v0.w)

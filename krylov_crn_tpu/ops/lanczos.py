@@ -63,7 +63,8 @@ def lanczos(
     adt = jnp.dtype(accum_dtype)
 
     g_norm = jnp.sqrt(_dot(g, g, adt)).astype(cdt)
-    v0 = g / g_norm
+    # numerically-zero gradient (exact convergence): zero basis, not NaNs
+    v0 = g / jnp.where(g_norm > 0, g_norm, 1.0)
 
     V0 = jnp.zeros((m, d), cdt).at[0].set(v0)
 

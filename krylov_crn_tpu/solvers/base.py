@@ -27,12 +27,11 @@ __all__ = ["Optimizer"]
 
 
 class Optimizer:
-    def __init__(self, loss, trace_len=200, use_prox=True, tolerance=0,
+    def __init__(self, loss, trace_len=200, tolerance=0,
                  save_first_iterations=5, label=None, seeds=None, tqdm=True,
                  store_iterates=True):
         self.loss = loss
         self.trace_len = trace_len
-        self.use_prox = use_prox and (self.loss.regularizer is not None)
         self.tolerance = tolerance
         self.save_first_iterations = save_first_iterations
         self.label = label
@@ -92,9 +91,11 @@ class Optimizer:
             self.finished_seeds.append(seed)
             self.initialized = False
             # fold the device-tracked running-best value into the oracle's
-            # empirical-f* tracker (reference loss.py:66-73 semantics)
+            # empirical-f* tracker (reference loss.py:66-73 semantics);
+            # two-float states contribute full pair precision
             if hasattr(self.state, "f_best"):
-                f_best = float(self.state.f_best)
+                f_best = (float(self.state.f_best)
+                          + float(getattr(self.state, "f_best_lo", 0.0)))
                 if f_best < self.loss.f_opt:
                     self.loss.f_opt = f_best
                     self.loss.x_opt = getattr(self.state, "x", None)
@@ -146,7 +147,9 @@ class Optimizer:
             self.trace.xs.append(self.state.x)
         else:
             self.trace.loss_vals = list(self.trace.loss_vals)
-            self.trace.loss_vals.append(float(self.state.value))
+            self.trace.loss_vals.append(
+                float(self.state.value)
+                + float(getattr(self.state, "value_lo", 0.0)))
         self.trace.ts.append(self.t)
         self.trace.its.append(self.it)
 

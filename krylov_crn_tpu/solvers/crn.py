@@ -32,8 +32,9 @@ from krylov_crn_tpu.models.logistic import (
     logreg_hessian_dense,
     logreg_value_from_margins,
 )
+from krylov_crn_tpu.ops.math import ls_accept, pair_diff, reg_clamp
 from krylov_crn_tpu.ops.spmv import rmatvec, spmv
-from krylov_crn_tpu.ops.subproblem import cubic_solve_cg, secular_newton
+from krylov_crn_tpu.ops.subproblem import cubic_solve_cg, cubic_solve_eigh
 from krylov_crn_tpu.solvers.base import Optimizer
 from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype, _initial_value
 
@@ -43,25 +44,29 @@ __all__ = ["CubicNewton", "CRNState", "crn_step_full", "crn_step_cg"]
 class CRNState(NamedTuple):
     x: jax.Array
     Ax: jax.Array
-    value: jax.Array
+    value: jax.Array  # f(x) two-float hi part (lo = 0 under x64)
+    value_lo: jax.Array
     reg_coef: jax.Array
     r0: jax.Array
     solver_it: jax.Array
     diff_norm: jax.Array
     grad_norm: jax.Array
     f_best: jax.Array
+    f_best_lo: jax.Array
 
 
-def _finish(state, x_new, Ax_new, value_new, reg, lam, it, g_norm, adt):
+def _finish(state, x_new, Ax_new, vhi, vlo, reg, lam, it, g_norm, adt):
     cdt = state.x.dtype
     diff = x_new - state.x
     diff_norm = jnp.sqrt(jnp.dot(diff.astype(adt), diff.astype(adt)))
+    better = pair_diff(vhi, vlo, state.f_best, state.f_best_lo) < 0
     return CRNState(
-        x=x_new, Ax=Ax_new, value=value_new,
-        reg_coef=reg.astype(cdt), r0=lam.astype(cdt),
+        x=x_new, Ax=Ax_new, value=vhi, value_lo=vlo,
+        reg_coef=reg_clamp(reg, cdt).astype(cdt), r0=lam.astype(cdt),
         solver_it=state.solver_it + it,
         diff_norm=diff_norm.astype(cdt), grad_norm=g_norm.astype(cdt),
-        f_best=jnp.minimum(state.f_best, value_new),
+        f_best=jnp.where(better, vhi, state.f_best),
+        f_best_lo=jnp.where(better, vlo, state.f_best_lo),
     )
 
 
@@ -94,30 +99,27 @@ def crn_step_full(
 
     def work(_):
         H = logreg_hessian_dense(data, Ax, l2=l2).astype(adt)
-        theta, Q = jnp.linalg.eigh(H)
-        c = Q.T @ g.astype(adt)
+        theta, Q = jnp.linalg.eigh(H)  # factor once; O(d) per trial after
 
         def trial(reg, r0):
-            lam, it = secular_newton(theta, c, reg, r0, xtol=solver_eps,
-                                     it_max=solver_it_max)
-            u = -c / (theta + lam)
-            s = Q @ u
-            norm_s = jnp.sqrt(jnp.sum(u * u))
-            model_dec = (lam / 2.0 * norm_s**2 - reg / 3.0 * norm_s**3
-                         - jnp.dot(g.astype(adt), s) / 2.0)
-            x_new = x + s.astype(x.dtype)
+            sol = cubic_solve_eigh(theta, Q, g.astype(adt), reg, r0,
+                                   xtol=solver_eps, it_max=solver_it_max)
+            x_new = x + sol.s.astype(x.dtype)
             Ax_new = spmv(data, x_new)
-            value_new = logreg_value_from_margins(
+            vhi, vlo = logreg_value_from_margins(
                 b, Ax_new, x_new, l2=l2, mask=data_mask(data), n=data.n)
-            return lam, it, model_dec, x_new, Ax_new, value_new
+            return (sol.r, sol.iterations, sol.model_decrease, x_new,
+                    Ax_new, vhi, vlo)
 
         reg0 = state.reg_coef.astype(adt) * beta
         carry0 = (reg0,) + trial(reg0, state.r0.astype(adt)) + \
             (jnp.asarray(0, jnp.int32),)
 
         def ls_cond(carry):
-            reg, lam, it, model_dec, x_new, Ax_new, value_new, trials = carry
-            bad = jnp.logical_not(value_new <= value - model_dec)
+            model_dec, vhi, vlo, trials = (carry[3], carry[6], carry[7],
+                                           carry[-1])
+            bad = jnp.logical_not(
+                ls_accept(vhi, vlo, value, state.value_lo, model_dec))
             return jnp.logical_and(bad, trials < ls_max)
 
         def ls_body(carry):
@@ -125,9 +127,9 @@ def crn_step_full(
             return (reg,) + trial(reg, state.r0.astype(adt)) + \
                 (carry[-1] + 1,)
 
-        reg, lam, it, _, x_new, Ax_new, value_new, _ = jax.lax.while_loop(
+        reg, lam, it, _, x_new, Ax_new, vhi, vlo, _ = jax.lax.while_loop(
             ls_cond, ls_body, carry0)
-        return _finish(state, x_new, Ax_new, value_new, reg, lam, it,
+        return _finish(state, x_new, Ax_new, vhi, vlo, reg, lam, it,
                        g_norm, adt)
 
     return jax.lax.cond(g_norm < tolerance, early, work, None)
@@ -177,18 +179,20 @@ def crn_step_cg(
                                  cg_maxiter=cg_maxiter, accum_dtype=adt)
             x_new = x + sol.s
             Ax_new = spmv(data, x_new)
-            value_new = logreg_value_from_margins(
+            vhi, vlo = logreg_value_from_margins(
                 b, Ax_new, x_new, l2=l2, mask=data_mask(data), n=data.n)
             return (sol.r.astype(adt), sol.iterations,
-                    sol.model_decrease.astype(adt), x_new, Ax_new, value_new)
+                    sol.model_decrease.astype(adt), x_new, Ax_new, vhi, vlo)
 
         reg0 = state.reg_coef.astype(adt) * beta
         carry0 = (reg0,) + trial(reg0, state.r0.astype(adt)) + \
             (jnp.asarray(0, jnp.int32),)
 
         def ls_cond(carry):
-            reg, lam, it, model_dec, x_new, Ax_new, value_new, trials = carry
-            bad = jnp.logical_not(value_new <= value - model_dec)
+            model_dec, vhi, vlo, trials = (carry[3], carry[6], carry[7],
+                                           carry[-1])
+            bad = jnp.logical_not(
+                ls_accept(vhi, vlo, value, state.value_lo, model_dec))
             return jnp.logical_and(bad, trials < ls_max)
 
         def ls_body(carry):
@@ -196,9 +200,9 @@ def crn_step_cg(
             return (reg,) + trial(reg, state.r0.astype(adt)) + \
                 (carry[-1] + 1,)
 
-        reg, lam, it, _, x_new, Ax_new, value_new, _ = jax.lax.while_loop(
+        reg, lam, it, _, x_new, Ax_new, vhi, vlo, _ = jax.lax.while_loop(
             ls_cond, ls_body, carry0)
-        return _finish(state, x_new, Ax_new, value_new, reg, lam, it,
+        return _finish(state, x_new, Ax_new, vhi, vlo, reg, lam, it,
                        g_norm, adt)
 
     return jax.lax.cond(g_norm < tolerance, early, work, None)
@@ -224,18 +228,18 @@ class CubicNewton(Optimizer):
 
     def init_state(self, x0, seed):
         loss = self.loss
-        value, Ax = _initial_value(loss.data, loss.b, x0, loss.l2)
+        value, value_lo, Ax = _initial_value(loss.data, loss.b, x0, loss.l2)
         cdt = x0.dtype
         loss.reset()
         self.trace.solver_its = [0]
         return CRNState(
-            x=x0, Ax=Ax, value=value,
+            x=x0, Ax=Ax, value=value, value_lo=value_lo,
             reg_coef=jnp.asarray(self.reg_coef, cdt),
             r0=jnp.asarray(0.1, cdt),
             solver_it=jnp.asarray(0, jnp.int32),
             diff_norm=jnp.asarray(jnp.inf, cdt),
             grad_norm=jnp.asarray(jnp.inf, cdt),
-            f_best=value,
+            f_best=value, f_best_lo=value_lo,
         )
 
     def step(self):

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from krylov_crn_tpu.ops.gram import GramData, Rep, rep_axpy, rep_dot
+from krylov_crn_tpu.ops.math import ls_accept, pair_diff, reg_clamp
 from krylov_crn_tpu.solvers.base import Optimizer
 from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
 from krylov_crn_tpu.solvers.krylov_gram import (
@@ -154,33 +155,47 @@ def gram_crn_step(
             zeta_new = zeta + s.w
             Ax_new = Ax + s.u
             xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
-            value_new = _gram_value(gd, Ax_new, xsq, l2, adt)
+            vhi, vlo = _gram_value(gd, Ax_new, xsq, l2, adt)
             return (lam, it, model_dec, gamma_new, zeta_new, Ax_new,
-                    value_new, s)
+                    vhi, vlo, s)
 
         reg0 = state.reg_coef.astype(adt) * beta
         carry0 = (reg0,) + trial(reg0) + (jnp.asarray(0, jnp.int32),)
 
         def ls_cond(carry):
-            model_dec, value_new, trials = carry[3], carry[7], carry[-1]
-            bad = jnp.logical_not(value_new <= value - model_dec)
+            model_dec, vhi, vlo, trials = (carry[3], carry[7], carry[8],
+                                           carry[-1])
+            bad = jnp.logical_not(
+                ls_accept(vhi, vlo, value, state.value_lo, model_dec))
             return jnp.logical_and(bad, trials < ls_max)
 
         def ls_body(carry):
             reg = carry[0] / beta
             return (reg,) + trial(reg) + (carry[-1] + 1,)
 
-        (reg, lam, it, _, gamma_new, zeta_new, Ax_new, value_new, s, _) = \
+        (reg, lam, it, _, gamma_new, zeta_new, Ax_new, value_new,
+         value_new_lo, s, _) = \
             jax.lax.while_loop(ls_cond, ls_body, carry0)
 
+        if cdt == jnp.float32:
+            # cap fp32 margin drift: stateless re-derivation through K
+            # (see gram_krylov_step)
+            Ax_new = gamma_new * gd.Ax0 + gd.K @ zeta_new
+            xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
+            value_new, value_new_lo = _gram_value(gd, Ax_new, xsq, l2, adt)
+
         diff_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, s, s, adt), 0.0))
+        better = pair_diff(value_new, value_new_lo,
+                           state.f_best, state.f_best_lo) < 0
         return GramKrylovState(
             gamma=gamma_new, zeta=zeta_new, Ax=Ax_new, value=value_new,
-            reg_coef=reg.astype(cdt), r0=lam.astype(cdt),
+            value_lo=value_new_lo,
+            reg_coef=reg_clamp(reg, cdt).astype(cdt), r0=lam.astype(cdt),
             solver_it=state.solver_it + it,
             diff_norm=diff_norm.astype(cdt),
             grad_norm=g_norm.astype(cdt),
-            f_best=jnp.minimum(state.f_best, value_new),
+            f_best=jnp.where(better, value_new, state.f_best),
+            f_best_lo=jnp.where(better, value_new_lo, state.f_best_lo),
         )
 
     return jax.lax.cond(g_norm < tolerance, early, work, None)

@@ -39,6 +39,7 @@ from krylov_crn_tpu.models.logistic import (
     logreg_value_from_margins,
 )
 from krylov_crn_tpu.ops.lanczos import lanczos
+from krylov_crn_tpu.ops.math import ls_accept, pair_diff, reg_clamp
 from krylov_crn_tpu.ops.spmv import rmatvec, spmv
 from krylov_crn_tpu.ops.subproblem import secular_newton, tridiag_eigh
 from krylov_crn_tpu.solvers.base import Optimizer
@@ -49,7 +50,8 @@ __all__ = ["CubicKrylov", "KrylovState", "krylov_step"]
 class KrylovState(NamedTuple):
     x: jax.Array  # iterate (d,)
     Ax: jax.Array  # cached margins A @ x (n,)
-    value: jax.Array  # f(x) scalar
+    value: jax.Array  # f(x) two-float hi part (lo = 0 under x64)
+    value_lo: jax.Array
     reg_coef: jax.Array  # current Hessian-Lipschitz estimate M
     r0: jax.Array  # warm-started secular root (cubic.py:255,307)
     solver_it: jax.Array  # accumulated 1-D Newton iterations (int32)
@@ -57,6 +59,7 @@ class KrylovState(NamedTuple):
     grad_norm: jax.Array  # ||grad|| observed in the last step
     f_best: jax.Array  # running min of observed f values (the empirical
     # f* protocol of loss.py:66-73 / cubic_newton.py:140, device-side)
+    f_best_lo: jax.Array
 
 
 def _asdt(v, dt):
@@ -119,9 +122,9 @@ def krylov_step(
         s_c = s.astype(cdt)
         x_new = x + s_c @ lz.V
         Ax_new = Ax + s_c @ AV
-        value_new = logreg_value_from_margins(b, Ax_new, x_new, l2=l2,
-                                              mask=mask, n=n)
-        return lam, it, model_dec, x_new, Ax_new, value_new
+        vhi, vlo = logreg_value_from_margins(b, Ax_new, x_new, l2=l2,
+                                             mask=mask, n=n)
+        return lam, it, model_dec, x_new, Ax_new, vhi, vlo
 
     # Backtracking line search (cubic.py:286-303): optimistic first trial at
     # reg*beta, then multiply by 1/beta until sufficient decrease, <= ls_max.
@@ -130,33 +133,38 @@ def krylov_step(
     carry0 = (reg0,) + first + (jnp.asarray(0, jnp.int32),)
 
     def ls_cond(carry):
-        reg, lam, it, model_dec, x_new, Ax_new, value_new, trials = carry
+        reg, lam, it, model_dec, x_new, Ax_new, vhi, vlo, trials = carry
         # NaN-robust form of `value_new > value - model_dec` (a fp32
-        # overflow retries with larger reg instead of being accepted)
-        bad = jnp.logical_not(value_new <= value - model_dec)
+        # overflow retries with larger reg instead of being accepted);
+        # the two-float gap resolves accepts below fp32 eps
+        bad = jnp.logical_not(
+            ls_accept(vhi, vlo, value, state.value_lo, model_dec))
         return jnp.logical_and(bad, trials < ls_max)
 
     def ls_body(carry):
-        reg, lam, it, model_dec, x_new, Ax_new, value_new, trials = carry
-        reg = reg / beta
+        reg = carry[0] / beta
         out = trial(reg, state.r0.astype(adt))
-        return (reg,) + out + (trials + 1,)
+        return (reg,) + out + (carry[-1] + 1,)
 
-    reg, lam, it, model_dec, x_new, Ax_new, value_new, _ = \
+    reg, lam, it, model_dec, x_new, Ax_new, value_new, value_new_lo, _ = \
         jax.lax.while_loop(ls_cond, ls_body, carry0)
 
     diff = x_new - x
     diff_norm = jnp.sqrt(jnp.dot(diff.astype(adt), diff.astype(adt)))
+    better = pair_diff(value_new, value_new_lo,
+                       state.f_best, state.f_best_lo) < 0
     return KrylovState(
         x=x_new,
         Ax=Ax_new,
         value=value_new,
-        reg_coef=reg.astype(cdt),
+        value_lo=value_new_lo,
+        reg_coef=reg_clamp(reg, cdt).astype(cdt),
         r0=lam.astype(cdt),
         solver_it=state.solver_it + it,
         diff_norm=diff_norm.astype(cdt),
         grad_norm=g_norm.astype(cdt),
-        f_best=jnp.minimum(state.f_best, value_new),
+        f_best=jnp.where(better, value_new, state.f_best),
+        f_best_lo=jnp.where(better, value_new_lo, state.f_best_lo),
     )
 
 
@@ -182,7 +190,7 @@ class CubicKrylov(Optimizer):
 
     def init_state(self, x0, seed):
         loss = self.loss
-        value, Ax = _initial_value(loss.data, loss.b, x0, loss.l2)
+        value, value_lo, Ax = _initial_value(loss.data, loss.b, x0, loss.l2)
         cdt = x0.dtype
         self.loss.reset()
         self.trace.solver_its = [0]
@@ -190,12 +198,14 @@ class CubicKrylov(Optimizer):
             x=x0,
             Ax=Ax,
             value=value,
+            value_lo=value_lo,
             reg_coef=jnp.asarray(self.reg_coef, cdt),
             r0=jnp.asarray(0.1, cdt),
             solver_it=jnp.asarray(0, jnp.int32),
             diff_norm=jnp.asarray(jnp.inf, cdt),
             grad_norm=jnp.asarray(jnp.inf, cdt),
             f_best=value,
+            f_best_lo=value_lo,
         )
 
     def step(self):
@@ -221,6 +231,8 @@ def _accum_dtype(cdt):
 
 @functools.partial(jax.jit, static_argnames=("l2",))
 def _initial_value(data, b, x0, l2):
+    """(value_hi, value_lo, margins) at the start point."""
     Ax = spmv(data, x0)
-    return logreg_value_from_margins(b, Ax, x0, l2=l2,
-                                     mask=data_mask(data), n=data.n), Ax
+    hi, lo = logreg_value_from_margins(b, Ax, x0, l2=l2,
+                                       mask=data_mask(data), n=data.n)
+    return hi, lo, Ax

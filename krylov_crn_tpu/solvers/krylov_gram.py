@@ -28,7 +28,14 @@ from krylov_crn_tpu.ops.gram import (
     gram_lanczos,
     rep_dot,
 )
-from krylov_crn_tpu.ops.math import logsig
+from krylov_crn_tpu.ops.math import (
+    accum_sum_pair,
+    logsig,
+    ls_accept,
+    pair_diff,
+    reg_clamp,
+    two_sum,
+)
 from krylov_crn_tpu.ops.subproblem import secular_newton, tridiag_eigh
 from krylov_crn_tpu.solvers.base import Optimizer
 from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
@@ -40,13 +47,15 @@ class GramKrylovState(NamedTuple):
     gamma: jax.Array  # coefficient of x0 in x = gamma*x0 + A^T zeta
     zeta: jax.Array  # (n_pad,)
     Ax: jax.Array  # margins (n_pad,), invariant: gamma*Ax0 + K zeta
-    value: jax.Array
+    value: jax.Array  # f(x) two-float hi part (lo below; lo = 0 under x64)
+    value_lo: jax.Array
     reg_coef: jax.Array
     r0: jax.Array
     solver_it: jax.Array
     diff_norm: jax.Array
     grad_norm: jax.Array
-    f_best: jax.Array
+    f_best: jax.Array  # running-min f as a two-float pair
+    f_best_lo: jax.Array
 
 
 class GramCheckpoint(NamedTuple):
@@ -59,11 +68,21 @@ class GramCheckpoint(NamedTuple):
 
 
 def _gram_value(gd: GramData, Ax, x_sqnorm, l2, adt):
-    terms = ((1.0 - gd.b) * Ax - logsig(Ax)) * gd.mask
-    val = jnp.sum(terms.astype(adt)) / gd.n
+    """f from margins as a two-float (hi, lo) pair.
+
+    Under x64 (CPU verification) lo = 0 and hi is the plain fp64 value; in
+    fp32-on-TPU runs the pair carries ~2x fp32 precision so line-search
+    accept tests and suboptimality gaps resolve below fp32 eps (the
+    reference is fp64 end-to-end and needs none of this). Terms are scaled
+    by 1/n *before* the reduction: each term's rounding error then enters
+    at eps*|term|/n and the compensated sum keeps the total near eps^2."""
+    terms = ((1.0 - gd.b) * Ax - logsig(Ax)) * (gd.mask / gd.n)
+    hi, lo = accum_sum_pair(terms.astype(adt), adt)
     if l2:
-        val = val + l2 / 2.0 * x_sqnorm.astype(adt)
-    return val
+        t = jnp.asarray(l2 / 2.0, adt) * x_sqnorm.astype(adt)
+        hi, e = two_sum(hi, t)
+        lo = lo + e
+    return hi, lo
 
 
 def _x_sqnorm(gd: GramData, gamma, zeta, Ax, adt):
@@ -165,23 +184,29 @@ def gram_krylov_step(
     Axs = Ax[None, :] + S_c @ lz.Vu  # (L, n_pad)
     xsqs = jax.vmap(lambda gm, zt, ax: _x_sqnorm(gd, gm, zt, ax, adt))(
         gammas, zetas, Axs)
-    values = jax.vmap(lambda ax, xq: _gram_value(gd, ax, xq, l2, adt))(
+    vhis, vlos = jax.vmap(lambda ax, xq: _gram_value(gd, ax, xq, l2, adt))(
         Axs, xsqs)
 
-    ok = values <= value - model_decs  # NaN-safe: NaN -> not ok
+    # accept test on the two-float gap: NaN-safe (NaN -> not ok)
+    ok = ls_accept(vhis, vlos, value, state.value_lo, model_decs)
     idx = jnp.where(jnp.any(ok), jnp.argmax(ok), L - 1)
 
     gamma_new = gammas[idx]
     zeta_new = zetas[idx]
-    value_new = values[idx]
+    value_new, value_new_lo = vhis[idx], vlos[idx]
     s_c = S_c[idx]
 
-    if K_lz.dtype != gd.K.dtype:
-        # margins flowed through bf16 Vu during the search; re-derive the
-        # committed margins exactly through fp32 K and refresh the value
+    if K_lz.dtype != gd.K.dtype or cdt == jnp.float32:
+        # Re-derive the committed margins through the full-precision K and
+        # refresh the value: (a) on the bf16-Lanczos path the search
+        # margins flowed through bf16 Vu; (b) on any fp32 path the
+        # incremental updates Ax += s@Vu accumulate rounding drift across
+        # iterations (measured ~3e-6 in f after ~25 steps) — stateless
+        # re-derivation caps the error at one matvec's rounding. The fp64
+        # verification path keeps the cheaper incremental form.
         Ax_new = gamma_new * gd.Ax0 + gd.K @ zeta_new
         xsq_new = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
-        value_new = _gram_value(gd, Ax_new, xsq_new, l2, adt)
+        value_new, value_new_lo = _gram_value(gd, Ax_new, xsq_new, l2, adt)
     else:
         Ax_new = Axs[idx]
 
@@ -189,14 +214,18 @@ def gram_krylov_step(
     delta = Rep(jnp.dot(s_c, lz.Vb), s_c @ lz.Vw, s_c @ lz.Vu)
     diff_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, delta, delta, adt), 0.0))
 
+    better = pair_diff(value_new, value_new_lo,
+                       state.f_best, state.f_best_lo) < 0
     return GramKrylovState(
         gamma=gamma_new, zeta=zeta_new, Ax=Ax_new,
-        value=value_new,
-        reg_coef=regs[idx].astype(cdt), r0=lams[idx].astype(cdt),
+        value=value_new, value_lo=value_new_lo,
+        reg_coef=reg_clamp(regs[idx], cdt).astype(cdt),
+        r0=lams[idx].astype(cdt),
         solver_it=state.solver_it + its[idx],
         diff_norm=diff_norm.astype(cdt),
         grad_norm=g_norm.astype(cdt),
-        f_best=jnp.minimum(state.f_best, value_new),
+        f_best=jnp.where(better, value_new, state.f_best),
+        f_best_lo=jnp.where(better, value_new_lo, state.f_best_lo),
     )
 
 
@@ -214,7 +243,8 @@ def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
 
     def body(st, _):
         st2 = gram_krylov_step(gd, st, **kw)
-        return st2, (st2.value, st2.grad_norm, st2.diff_norm, st2.solver_it)
+        return st2, ((st2.value, st2.value_lo), st2.grad_norm,
+                     st2.diff_norm, st2.solver_it)
 
     return jax.lax.scan(body, state, None, length=chunk)
 
@@ -255,7 +285,8 @@ class GramKrylov(Optimizer):
 
     def __init__(self, reg_coef=None, subspace_dim=100, solver_eps=1e-8,
                  beta=0.5, solver_it_max=100, ls_max=20, reorth_passes=1,
-                 cache_dir=None, mesh=None, *args, **kwargs):
+                 cache_dir=None, mesh=None, fp32_tail_rtol=1e-3,
+                 *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.subspace_dim = int(subspace_dim)
         self.solver_eps = float(solver_eps)
@@ -265,10 +296,29 @@ class GramKrylov(Optimizer):
         self.reorth_passes = int(reorth_passes)
         self.cache_dir = cache_dir
         self.mesh = mesh
+        # bf16-Lanczos runs switch to the full-precision K once the
+        # gradient norm has dropped by this factor: bf16 subspace noise
+        # stalls the final gap at ~1e-7 (measured), fp32 reaches ~1e-9
+        self.fp32_tail_rtol = float(fp32_tail_rtol)
+        self._gn_first = None
         self.reg_coef = (self.loss.hessian_lipschitz if reg_coef is None
                          else float(reg_coef))
         self.gd: GramData | None = None
         self._x0_host = None
+
+    def _maybe_enter_fp32_tail(self, grad_norm):
+        """Drop the low-precision Lanczos K once the tail begins."""
+        import dataclasses as _dc
+
+        if self.gd is None or self.gd.K_lr is None:
+            return
+        if not np.isfinite(grad_norm):
+            return
+        if self._gn_first is None:
+            self._gn_first = grad_norm
+            return
+        if grad_norm < self.fp32_tail_rtol * self._gn_first:
+            self.gd = _dc.replace(self.gd, K_lr=None)
 
     def init_state(self, x0, seed):
         loss = self.loss
@@ -279,6 +329,7 @@ class GramKrylov(Optimizer):
                 "(construct LogisticRegression from a scipy matrix)")
         x0h = np.asarray(x0, np.float64)
         self._x0_host = x0h
+        self._gn_first = None
         dtype = np.dtype(loss.b.dtype)
         self.gd = build_gram(A, np.asarray(loss.b)[: A.shape[0]], x0h,
                              dtype=dtype, cache_dir=self.cache_dir,
@@ -290,17 +341,17 @@ class GramKrylov(Optimizer):
         gamma = jnp.asarray(1.0, cdt)
         Ax = self.gd.Ax0
         xsq = _x_sqnorm(self.gd, gamma, zeta, Ax, adt)
-        value = _gram_value(self.gd, Ax, xsq, loss.l2, adt)
+        value, value_lo = _gram_value(self.gd, Ax, xsq, loss.l2, adt)
         self.loss.reset()
         self.trace.solver_its = [0]
         return GramKrylovState(
-            gamma=gamma, zeta=zeta, Ax=Ax, value=value,
+            gamma=gamma, zeta=zeta, Ax=Ax, value=value, value_lo=value_lo,
             reg_coef=jnp.asarray(self.reg_coef, cdt),
             r0=jnp.asarray(0.1, cdt),
             solver_it=jnp.asarray(0, jnp.int32),
             diff_norm=jnp.asarray(jnp.inf, cdt),
             grad_norm=jnp.asarray(jnp.inf, cdt),
-            f_best=value,
+            f_best=value, f_best_lo=value_lo,
         )
 
     def step(self):
@@ -311,6 +362,7 @@ class GramKrylov(Optimizer):
             ls_max=self.ls_max, reorth_passes=self.reorth_passes,
             accum_dtype=_accum_dtype(self.state.zeta.dtype),
         )
+        self._maybe_enter_fp32_tail(float(self.state.grad_norm))
 
     # ---- trace integration (checkpoints are reps, not iterates) ----
     def update_trace(self):
@@ -358,16 +410,26 @@ class GramKrylov(Optimizer):
             ls_max=self.ls_max, reorth_passes=self.reorth_passes,
             accum_dtype=_accum_dtype(self.state.zeta.dtype),
         )
-        self.trace.loss_vals = [float(self.state.value)]
+        self.trace.loss_vals = [float(self.state.value)
+                                + float(self.state.value_lo)]
+        metrics = self.trace.metrics
+        metrics.setdefault("grad_norm", [])
+        metrics.setdefault("diff_norm", [])
         t_start = _time.perf_counter()
         t_prev = 0.0
         while self.it < it_max:
             k = int(min(chunk, it_max - self.it))
-            self.state, (vals, gns, dns, sits) = gram_krylov_multistep(
+            self.state, (vpairs, gns, dns, sits) = gram_krylov_multistep(
                 self.gd, self.state, chunk=k, **kw)
             now = _time.perf_counter() - t_start
-            vals = np.asarray(vals, np.float64)
+            vals = (np.asarray(vpairs[0], np.float64)
+                    + np.asarray(vpairs[1], np.float64))
             dns = np.asarray(dns, np.float64)
+            # device-side metric buffers, host-synced once per chunk
+            gns = np.asarray(gns, np.float64)
+            metrics["grad_norm"].extend(gns[:k])
+            metrics["diff_norm"].extend(dns[:k])
+            self._maybe_enter_fp32_tail(float(gns[k - 1]))
             for j in range(k):
                 self.it += 1
                 self.trace.its.append(self.it)
@@ -383,7 +445,7 @@ class GramKrylov(Optimizer):
             if now >= t_max:
                 break
         self.trace.loss_vals = np.asarray(self.trace.loss_vals)
-        f_best = float(self.state.f_best)
+        f_best = float(self.state.f_best) + float(self.state.f_best_lo)
         if f_best < self.loss.f_opt:
             self.loss.f_opt = f_best
         self.initialized = False
@@ -412,8 +474,9 @@ class GramKrylov(Optimizer):
             jnp.float32
         vals = []
         for ck in self.trace.xs:
-            v = float(_gram_value(self.gd, ck.Ax, ck.x_sqnorm,
-                                  self.loss.l2, adt))
+            hi, lo = _gram_value(self.gd, ck.Ax, ck.x_sqnorm,
+                                 self.loss.l2, adt)
+            v = float(hi) + float(lo)
             if v < self.loss.f_opt:
                 self.loss.f_opt = v
             vals.append(v)

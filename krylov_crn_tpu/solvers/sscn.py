@@ -33,6 +33,7 @@ from krylov_crn_tpu.models.logistic import (
     logreg_partials,
     logreg_value_from_margins,
 )
+from krylov_crn_tpu.ops.math import ls_accept, pair_diff, reg_clamp
 from krylov_crn_tpu.ops.subproblem import secular_newton
 from krylov_crn_tpu.solvers.base import Optimizer
 from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype, _initial_value
@@ -43,12 +44,14 @@ __all__ = ["SSCN", "SSCNState", "sscn_step"]
 class SSCNState(NamedTuple):
     x: jax.Array
     Ax: jax.Array
-    value: jax.Array
+    value: jax.Array  # f(x) two-float hi part (lo = 0 under x64)
+    value_lo: jax.Array
     reg_coef: jax.Array
     r0: jax.Array
     solver_it: jax.Array
     diff_norm: jax.Array
     f_best: jax.Array
+    f_best_lo: jax.Array
     key: jax.Array  # PRNG key for coordinate sampling
 
 
@@ -93,9 +96,9 @@ def sscn_step(
         s_c = s.astype(cdt)
         x_new = x.at[I].add(s_c)
         Ax_new = Ax + B @ s_c
-        value_new = logreg_value_from_margins(
+        vhi, vlo = logreg_value_from_margins(
             b, Ax_new, x_new, l2=l2, mask=data_mask(data), n=data.n)
-        return lam, it, model_dec, x_new, Ax_new, value_new
+        return lam, it, model_dec, x_new, Ax_new, vhi, vlo
 
     # reg floor at machine eps mirrors cubic.py:366
     reg0 = jnp.maximum(state.reg_coef.astype(adt) * beta,
@@ -104,25 +107,29 @@ def sscn_step(
         (jnp.asarray(0, jnp.int32),)
 
     def ls_cond(carry):
-        reg, lam, it, model_dec, x_new, Ax_new, value_new, trials = carry
-        bad = jnp.logical_not(value_new <= value - model_dec)
+        model_dec, vhi, vlo, trials = (carry[3], carry[6], carry[7],
+                                       carry[-1])
+        bad = jnp.logical_not(
+            ls_accept(vhi, vlo, value, state.value_lo, model_dec))
         return jnp.logical_and(bad, trials < ls_max)
 
     def ls_body(carry):
         reg = carry[0] / beta
         return (reg,) + trial(reg, state.r0.astype(adt)) + (carry[-1] + 1,)
 
-    reg, lam, it, _, x_new, Ax_new, value_new, _ = jax.lax.while_loop(
+    reg, lam, it, _, x_new, Ax_new, vhi, vlo, _ = jax.lax.while_loop(
         ls_cond, ls_body, carry0)
 
     diff = x_new - x
     diff_norm = jnp.sqrt(jnp.dot(diff.astype(adt), diff.astype(adt)))
+    better = pair_diff(vhi, vlo, state.f_best, state.f_best_lo) < 0
     return SSCNState(
-        x=x_new, Ax=Ax_new, value=value_new,
-        reg_coef=reg.astype(cdt), r0=lam.astype(cdt),
+        x=x_new, Ax=Ax_new, value=vhi, value_lo=vlo,
+        reg_coef=reg_clamp(reg, cdt).astype(cdt), r0=lam.astype(cdt),
         solver_it=state.solver_it + it,
         diff_norm=diff_norm.astype(cdt),
-        f_best=jnp.minimum(state.f_best, value_new),
+        f_best=jnp.where(better, vhi, state.f_best),
+        f_best_lo=jnp.where(better, vlo, state.f_best_lo),
         key=key,
     )
 
@@ -146,17 +153,17 @@ class SSCN(Optimizer):
 
     def init_state(self, x0, seed):
         loss = self.loss
-        value, Ax = _initial_value(loss.data, loss.b, x0, loss.l2)
+        value, value_lo, Ax = _initial_value(loss.data, loss.b, x0, loss.l2)
         cdt = x0.dtype
         loss.reset()
         self.trace.solver_its = [0]
         return SSCNState(
-            x=x0, Ax=Ax, value=value,
+            x=x0, Ax=Ax, value=value, value_lo=value_lo,
             reg_coef=jnp.asarray(self.reg_coef, cdt),
             r0=jnp.asarray(0.1, cdt),
             solver_it=jnp.asarray(0, jnp.int32),
             diff_norm=jnp.asarray(jnp.inf, cdt),
-            f_best=value,
+            f_best=value, f_best_lo=value_lo,
             key=jax.random.PRNGKey(seed),
         )
 

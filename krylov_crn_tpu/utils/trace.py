@@ -1,12 +1,20 @@
-"""Trace: metric logging, plotting, persistence.
+"""Run records: checkpoint log, metric series, gap curves, persistence.
 
-Mirrors the reference Trace (/root/reference/optimizer/opt_trace.py:19-120):
-stores subsampled iterates with wall-clock stamps and iteration counters,
-lazily evaluates losses over stored iterates, renders gap curves, pickles
-(minus the loss handle). Additions for the TPU build: iterates live on
-device until needed; ``solver_its`` is first-class; loss re-evaluation can
-run in a higher-precision dtype than the solver (fp64 verification pass,
-BASELINE.md convergence-parity row).
+Fills the role of the reference Trace (/root/reference/optimizer/
+opt_trace.py:19-120) with a different organization built for the TPU
+runtime:
+
+* checkpoints (``xs``) may be explicit iterates *or* compact solver pytrees
+  (the Gram solvers' (gamma, zeta, Ax) reps) — a solver-installed
+  ``materializer`` converts reps to iterates on demand;
+* ``metrics`` holds full-resolution per-iteration series produced on device
+  (the fused runner syncs them at chunk boundaries) — the reference can only
+  subsample through its host loop (optimizer.py:136-145);
+* loss evaluation over checkpoints can run at a chosen precision
+  (``evaluate_losses(dtype=...)``), giving the fp64 verification pass of
+  BASELINE.md's convergence-parity row;
+* pickling keeps the checkpoint pytrees (host numpy) and drops live loss
+  handles, re-attached on load.
 """
 
 from __future__ import annotations
@@ -22,148 +30,170 @@ __all__ = ["Trace"]
 
 
 class Trace:
+    """One optimizer run's record."""
+
     def __init__(self, loss=None, label=None):
         self.loss = loss
         self.label = label
-        self.xs = []
-        self.ts = []
-        self.its = []
-        self.loss_vals = []
-        self.solver_its = None
+        self.xs = []  # checkpoints: iterates or solver rep pytrees
+        self.ts = []  # wall-clock stamps (s)
+        self.its = []  # iteration counters
+        self.loss_vals = []  # f at checkpoints (or full-res when fused)
+        self.solver_its = None  # cumulative inner-solver iterations
+        self.ls_its = None  # optional line-search-iteration axis
+        self.metrics = {}  # full-resolution device-synced series
         self.its_converted_to_epochs = False
-        self.ls_its = None
-        # solvers whose checkpoints are compact reps rather than explicit
-        # iterates (the Gram solvers) install a rep -> x converter here
-        self.materializer = None
+        self.materializer = None  # rep -> iterate converter (Gram solvers)
 
-    def _iterate(self, x):
-        """Explicit iterate for a stored checkpoint (materializing a rep
-        through the solver-installed converter when needed)."""
-        mat = getattr(self, "materializer", None)
-        if mat is not None and not hasattr(x, "shape"):
-            return mat(x)
-        return x
+    # ------------------------- checkpoint access -------------------------
+
+    def _materialize(self, ck):
+        """Explicit iterate for a checkpoint; converts rep pytrees through
+        the installed materializer, passes arrays straight through."""
+        if self.materializer is not None and not hasattr(ck, "shape"):
+            return self.materializer(ck)
+        return ck
+
+    def iterates(self):
+        """All checkpoints as explicit iterates (may cost one transpose
+        SpMV per rep checkpoint)."""
+        return [self._materialize(ck) for ck in self.xs]
+
+    # --------------------------- loss curves ----------------------------
+
+    def evaluate_losses(self, dtype=None, force=False):
+        """f at every stored checkpoint via the attached oracle.
+
+        ``dtype``: evaluate in this precision regardless of the solver's
+        (e.g. np.float64 for the host verification pass — iterates are
+        materialized and upcast before the oracle call). With the default
+        None, the oracle's own dtype is used. No-op if values exist unless
+        ``force``."""
+        if len(self.loss_vals) and not force:
+            warnings.warn("trace already has loss values; pass force=True "
+                          "or clear .loss_vals to re-evaluate")
+            return np.asarray(self.loss_vals)
+        if self.loss is None:
+            raise ValueError("no oracle attached to this trace")
+        vals = []
+        for ck in self.xs:
+            x = self._materialize(ck)
+            if dtype is not None:
+                x = np.asarray(x, dtype)
+            vals.append(self.loss.value(x))
+        self.loss_vals = np.asarray(vals)
+        return self.loss_vals
 
     def compute_loss_of_iterates(self):
-        """Evaluate f at every stored iterate (fresh SpMV each — the
-        post-run re-evaluation pass, opt_trace.py:39-43)."""
-        if len(self.loss_vals) == 0:
-            self.loss_vals = np.asarray(
-                [self.loss.value(self._iterate(x)) for x in self.xs]
-            )
-        else:
-            warnings.warn(
-                "Loss values have already been computed. Set .loss_vals = []"
-                " to recompute."
-            )
-
-    def convert_its_to_epochs(self, batch_size=1):
-        if self.its_converted_to_epochs:
-            warnings.warn(
-                "The iteration count has already been converted to epochs."
-            )
-            return
-        its_per_epoch = self.loss.n / batch_size
-        self.its = np.asarray(self.its) / its_per_epoch
-        self.its_converted_to_epochs = True
-
-    def plot_losses(self, its=None, f_opt=None, label=None, markevery=None,
-                    use_ls_its=True, time=False, *args, **kwargs):
-        import matplotlib.pyplot as plt
-
-        if label is None:
-            label = self.label
-        if its is None:
-            if use_ls_its and self.ls_its is not None:
-                print(f"Line search iteration counter is used for plotting "
-                      f"{label}")
-                its = self.ls_its
-            elif time:
-                its = self.ts
-            else:
-                its = self.its
-        if len(self.loss_vals) == 0:
-            self.compute_loss_of_iterates()
-        if f_opt is None:
-            f_opt = self.loss.f_opt
-        if markevery is None:
-            markevery = max(1, len(self.loss_vals) // 20)
-        plt.plot(its, np.asarray(self.loss_vals) - f_opt, label=label,
-                 markevery=markevery, *args, **kwargs)
-        plt.ylabel(r"$f(x)-f^*$")
-
-    def plot_distances(self, its=None, x_opt=None, label=None, markevery=None,
-                       use_ls_its=True, time=False, *args, **kwargs):
-        import matplotlib.pyplot as plt
-
-        if its is None:
-            if use_ls_its and self.ls_its is not None:
-                its = self.ls_its
-            elif time:
-                its = self.ts
-            else:
-                its = self.its
-        if x_opt is None:
-            x_opt = (self._iterate(self.xs[-1])
-                     if getattr(self.loss, "x_opt", None) is None
-                     else self.loss.x_opt)
-        if label is None:
-            label = self.label
-        if markevery is None:
-            markevery = max(1, len(self.xs) // 20)
-        dists = [float(np.linalg.norm(np.asarray(self._iterate(x))
-                                      - np.asarray(x_opt)) ** 2)
-                 for x in self.xs]
-        plt.plot(its, dists, label=label, markevery=markevery, *args, **kwargs)
-        plt.ylabel(r"$\Vert x-x^*\Vert^2$")
+        """Reference-API alias (opt_trace.py:39-43 semantics)."""
+        self.evaluate_losses()
 
     @property
     def best_loss_value(self):
-        if len(self.loss_vals) == 0:
-            self.compute_loss_of_iterates()
-        return np.min(self.loss_vals)
+        if not len(self.loss_vals):
+            self.evaluate_losses()
+        return float(np.min(self.loss_vals))
+
+    def gap_curve(self, f_opt=None):
+        """Suboptimality gaps f(x_k) - f* over the stored curve."""
+        if not len(self.loss_vals):
+            self.evaluate_losses()
+        if f_opt is None:
+            f_opt = self.loss.f_opt
+        return np.asarray(self.loss_vals, np.float64) - float(f_opt)
+
+    # ------------------------------ axes --------------------------------
+
+    def convert_its_to_epochs(self, batch_size=1):
+        if self.its_converted_to_epochs:
+            warnings.warn("iteration axis is already in epochs")
+            return
+        self.its = np.asarray(self.its) / (self.loss.n / batch_size)
+        self.its_converted_to_epochs = True
+
+    def _xaxis(self, time, use_ls_its):
+        """Pick the x-axis: explicit ls_its > wall-clock > iterations."""
+        if use_ls_its and self.ls_its is not None:
+            print(f"[trace] {self.label}: plotting against the line-search "
+                  f"iteration axis")
+            return self.ls_its
+        return self.ts if time else self.its
+
+    # ----------------------------- plotting -----------------------------
+
+    def plot_losses(self, its=None, f_opt=None, label=None, markevery=None,
+                    use_ls_its=True, time=False, *args, **kwargs):
+        """Gap curve f(x)-f* on the current matplotlib axes."""
+        import matplotlib.pyplot as plt
+
+        xs = self._xaxis(time, use_ls_its) if its is None else its
+        ys = self.gap_curve(f_opt)
+        if markevery is None:
+            markevery = max(1, len(ys) // 20)
+        plt.plot(xs, ys, label=self.label if label is None else label,
+                 markevery=markevery, *args, **kwargs)
+        plt.ylabel(r"$f(x)-f^*$")
+
+    def plot_distances(self, its=None, x_opt=None, label=None,
+                       markevery=None, use_ls_its=True, time=False,
+                       *args, **kwargs):
+        """Squared iterate distances ||x - x*||^2."""
+        import matplotlib.pyplot as plt
+
+        xs = self._xaxis(time, use_ls_its) if its is None else its
+        if x_opt is None:
+            x_opt = getattr(self.loss, "x_opt", None)
+            if x_opt is None:
+                x_opt = self._materialize(self.xs[-1])
+        ref = np.asarray(x_opt, np.float64)
+        ys = [float(np.sum((np.asarray(self._materialize(ck), np.float64)
+                            - ref) ** 2)) for ck in self.xs]
+        if markevery is None:
+            markevery = max(1, len(ys) // 20)
+        plt.plot(xs, ys, label=self.label if label is None else label,
+                 markevery=markevery, *args, **kwargs)
+        plt.ylabel(r"$\Vert x-x^*\Vert^2$")
+
+    # ---------------------------- persistence ---------------------------
 
     def save(self, file_name, path="./results/"):
-        """Pickle (iterates as numpy, loss handle dropped; opt_trace.py:102).
-
-        Checkpoints may be plain iterates (arrays) or solver-specific
-        pytrees (e.g. the Gram solvers' (gamma, zeta, Ax) reps) — each
-        leaf is pulled to host numpy, preserving the structure."""
+        """Pickle to ``path/file_name``: checkpoints pulled to host numpy
+        (pytree structure preserved), live loss handles dropped. A
+        materializer that carries its own loss reference (RepMaterializer)
+        is kept with the reference nulled; from_pickle re-attaches it."""
         import jax
 
-        loss_ref = self.loss
-        mat_ref = self.materializer
-        self.loss = None
-        # a materializer that carries its own loss handle (RepMaterializer)
-        # is pickled with the handle nulled and re-attached by from_pickle;
-        # anything else (e.g. a solver-bound method) is dropped
-        if hasattr(mat_ref, "loss"):
-            mat_ref.loss = None
-        else:
-            self.materializer = None
-        xs_ref = self.xs
-        self.xs = [jax.tree.map(np.asarray, x) for x in xs_ref]
-        Path(path).mkdir(parents=True, exist_ok=True)
-        with open(os.path.join(path, file_name), "wb") as f:
-            pickle.dump(self, f)
-        self.loss = loss_ref
-        self.materializer = mat_ref
-        if hasattr(mat_ref, "loss"):
-            mat_ref.loss = loss_ref
-        self.xs = xs_ref
+        keep_loss, keep_mat, keep_xs = self.loss, self.materializer, self.xs
+        try:
+            self.loss = None
+            if hasattr(keep_mat, "loss"):
+                keep_mat.loss = None
+            else:
+                self.materializer = None  # unpicklable bound converter
+            self.xs = [jax.tree.map(np.asarray, ck) for ck in keep_xs]
+            Path(path).mkdir(parents=True, exist_ok=True)
+            with open(os.path.join(path, file_name), "wb") as fh:
+                pickle.dump(self, fh)
+        finally:
+            self.loss = keep_loss
+            self.materializer = keep_mat
+            if hasattr(keep_mat, "loss"):
+                keep_mat.loss = keep_loss
+            self.xs = keep_xs
 
     @classmethod
     def from_pickle(cls, path, loss=None):
         if not os.path.isfile(path):
             return None
-        with open(path, "rb") as f:
-            trace = pickle.load(f)
+        with open(path, "rb") as fh:
+            trace = pickle.load(fh)
         trace.loss = loss
         mat = getattr(trace, "materializer", None)
         if mat is not None and hasattr(mat, "loss"):
             mat.loss = loss
         if loss is not None and len(trace.loss_vals):
-            # note: fixes the reference's latent bug at opt_trace.py:119
-            # (class-level attribute access instead of the loaded instance)
+            # the reference's from_pickle reads best_loss_value off the
+            # *class* (opt_trace.py:119, latent bug); this uses the loaded
+            # instance and folds it into the oracle's running best
             loss.f_opt = min(trace.best_loss_value, loss.f_opt)
         return trace
