@@ -175,10 +175,17 @@ class LogisticRegression(Oracle):
             dtype = (np.float64 if jax.config.read("jax_enable_x64")
                      else np.float32)
         if isinstance(A, ShardedDual):
-            # distributed oracle: row-sharded matrix + padded sharded labels
+            # distributed oracle: row-sharded matrix + padded sharded
+            # labels. A global jax Array of padded length (produced by
+            # parallel.multihost.load_sharded_libsvm) is used as-is —
+            # multi-host processes cannot materialize the global raw
+            # label vector on one host.
             self.data = A
-            b = canonicalize_labels(np.asarray(b))
-            self.b = pad_rowvec(b.astype(dtype), A)
+            if isinstance(b, jax.Array) and b.shape[0] == A.n_padded:
+                self.b = b
+            else:
+                b = canonicalize_labels(np.asarray(b))
+                self.b = pad_rowvec(b.astype(dtype), A)
         else:
             if isinstance(A, DualSparse):
                 self.data = (A.astype(dtype) if A.a.vals.dtype != dtype
