@@ -4,6 +4,15 @@ The reference's large-d CRN variant (cubic.py:152-182) is the hottest nest
 in its codebase: secular Newton x CG x SpMV. Here the same nest runs with
 rep-space vectors (ops/gram.py): each CG matvec is one dense K-matvec, all
 inner products are closed form — no sparse op anywhere in the loop.
+
+Dispatch granularity is deliberately ONE CG SOLVE per device program: the
+secular Newton and the backtracking line search run on the host, exactly
+like the reference's ``root_scalar``-over-CG structure (cubic.py:157-182).
+A fully fused step (line search x Newton x CG in one XLA program) was the
+round-1 design, but a single dispatch can then run minutes of device time
+on ill-conditioned problems, which wedges shared-TPU runtimes and gives
+zero progress visibility. The host overhead is O(ms) per CG solve against
+O(100ms..s) of device time per solve — noise.
 """
 
 from __future__ import annotations
@@ -15,11 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from krylov_crn_tpu.ops.gram import GramData, Rep, rep_axpy, rep_dot
-from krylov_crn_tpu.ops.math import ls_accept, pair_diff, reg_clamp
+from krylov_crn_tpu.ops.math import reg_clamp
 from krylov_crn_tpu.solvers.base import Optimizer
 from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
 from krylov_crn_tpu.solvers.krylov_gram import (
-    GramCheckpoint,
     GramKrylov,
     GramKrylovState,
     _gram_value,
@@ -68,11 +76,104 @@ def cg_rep(gd: GramData, matvec, b: Rep, rtol, maxiter, adt):
     return x, it
 
 
+# ------------------------- jitted dispatch units -------------------------
+#
+# Each device program below is one bounded unit of work (a gradient probe,
+# one CG solve, one trial evaluation); the Newton and line-search loops
+# that sequence them live on the host in gram_crn_step.
+
+
+@functools.partial(jax.jit, static_argnames=("l2", "accum_dtype"))
+def _grad_probe(gd: GramData, state: GramKrylovState, l2, accum_dtype):
+    """Gradient rep g, ||g||, and the Hessian weights D — one K-matvec."""
+    cdt = state.zeta.dtype
+    adt = jnp.dtype(accum_dtype)
+    n = gd.n
+    sig = jax.nn.sigmoid(state.Ax)
+    residual = (sig - gd.b) * gd.mask
+    w_g = residual / n + (l2 * state.zeta if l2 else 0.0)
+    beta_g = jnp.asarray(l2, cdt) * state.gamma
+    u_g = beta_g * gd.Ax0 + gd.K @ w_g
+    g = Rep(beta_g, w_g, u_g)
+    g_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, g, g, adt), 0.0))
+    D = sig * (1.0 - sig) * gd.mask / n
+    return g, g_norm, D
+
+
+def _hop(gd: GramData, D, l2, cdt):
+    def hop(v: Rep) -> Rep:
+        q = D * v.u
+        w_H = q + (l2 * v.w if l2 else 0.0)
+        u_H = gd.K @ q + (l2 * v.u if l2 else 0.0)
+        return Rep(jnp.asarray(l2, cdt) * v.beta, w_H, u_H)
+
+    return hop
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("l2", "beta", "solver_eps", "solver_it_max",
-                     "tolerance", "ls_max", "cg_maxiter", "accum_dtype"),
-)
+    static_argnames=("l2", "solver_eps", "cg_maxiter", "accum_dtype"))
+def _cg_shifted(gd: GramData, D, rhs: Rep, lam, l2, solver_eps,
+                cg_maxiter, accum_dtype):
+    """Solve (H + lam*I) s = rhs by CG; one bounded device program.
+
+    Returns (s, <s, s>, cg_iterations)."""
+    cdt = rhs.w.dtype
+    adt = jnp.dtype(accum_dtype)
+    hop = _hop(gd, D, l2, cdt)
+    lam_c = lam.astype(cdt)
+    mv = lambda v: rep_axpy(hop(v), lam_c, v)
+    s, it = cg_rep(gd, mv, rhs, solver_eps, cg_maxiter, adt)
+    return s, rep_dot(gd, s, s, adt), it
+
+
+@functools.partial(jax.jit, static_argnames=("accum_dtype",))
+def _rep_dot_j(gd: GramData, u: Rep, v: Rep, accum_dtype):
+    return rep_dot(gd, u, v, jnp.dtype(accum_dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("l2", "accum_dtype"))
+def _trial_eval(gd: GramData, state: GramKrylovState, g: Rep, s: Rep,
+                lam, reg, l2, accum_dtype):
+    """Candidate state pieces + model decrease for one line-search trial."""
+    adt = jnp.dtype(accum_dtype)
+    s2 = rep_dot(gd, s, s, adt)
+    norm_s = jnp.sqrt(jnp.maximum(s2, 0.0))
+    model_dec = (lam.astype(adt) / 2.0 * s2
+                 - reg.astype(adt) / 3.0 * norm_s**3
+                 - rep_dot(gd, g, s, adt) / 2.0)
+    gamma_new = state.gamma + s.beta
+    zeta_new = state.zeta + s.w
+    Ax_new = state.Ax + s.u
+    xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
+    vhi, vlo = _gram_value(gd, Ax_new, xsq, l2, adt)
+    return gamma_new, zeta_new, Ax_new, vhi, vlo, model_dec, norm_s
+
+
+@functools.partial(jax.jit, static_argnames=("l2", "accum_dtype"))
+def _rederive_margins(gd: GramData, gamma, zeta, l2, accum_dtype):
+    """Stateless margins re-derivation through the fp32 K (drift cap —
+    see gram_krylov_step)."""
+    adt = jnp.dtype(accum_dtype)
+    Ax = gamma * gd.Ax0 + gd.K @ zeta
+    xsq = _x_sqnorm(gd, gamma, zeta, Ax, adt)
+    vhi, vlo = _gram_value(gd, Ax, xsq, l2, adt)
+    return Ax, vhi, vlo
+
+
+def _pair64(hi, lo):
+    return float(hi) + float(lo)
+
+
+def _ls_accept_host(vhi, vlo, fhi, flo, model_dec, cdt):
+    """Host mirror of ops.math.ls_accept on two-float pairs: fp64 addition
+    of an fp32 (hi, lo) pair is exact, so the fp64 gap equals pair_diff."""
+    gap = _pair64(vhi, vlo) - _pair64(fhi, flo)
+    ulp = float(jnp.finfo(cdt).eps) * abs(float(fhi))
+    md = float(model_dec)
+    return (gap <= -md) or (md <= ulp and gap <= 0.0)
+
+
 def gram_crn_step(
     gd: GramData,
     state: GramKrylovState,
@@ -85,120 +186,85 @@ def gram_crn_step(
     cg_maxiter: int = 500,
     accum_dtype=jnp.float32,
 ) -> GramKrylovState:
+    """One CRN-CG iteration: host-sequenced secular Newton + backtracking
+    line search over jitted one-CG-solve device programs (mirrors the
+    reference's control structure, cubic.py:152-182 + 190-226)."""
     cdt = state.zeta.dtype
     adt = jnp.dtype(accum_dtype)
-    n = gd.n
+    l2 = float(l2)
 
-    gamma, zeta, Ax, value = state.gamma, state.zeta, state.Ax, state.value
+    g, g_norm_dev, D = _grad_probe(gd, state, l2, adt)
+    g_norm = float(g_norm_dev)
 
-    sig = jax.nn.sigmoid(Ax)
-    residual = (sig - gd.b) * gd.mask
-    w_g = residual / n + (l2 * zeta if l2 else 0.0)
-    beta_g = jnp.asarray(l2, cdt) * gamma
-    u_g = beta_g * gd.Ax0 + gd.K @ w_g
-    g = Rep(beta_g, w_g, u_g)
-    g_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, g, g, adt), 0.0))
-
-    D = sig * (1.0 - sig) * gd.mask / n
-
-    def hop(v: Rep) -> Rep:
-        q = D * v.u
-        w_H = q + (l2 * v.w if l2 else 0.0)
-        u_H = gd.K @ q + (l2 * v.u if l2 else 0.0)
-        return Rep(jnp.asarray(l2, cdt) * v.beta, w_H, u_H)
+    if tolerance > 0.0 and g_norm < tolerance:
+        return state._replace(diff_norm=jnp.zeros((), cdt),
+                              grad_norm=jnp.asarray(g_norm, cdt))
 
     neg_g = Rep(-g.beta, -g.w, -g.u)
 
-    def early(_):
-        return state._replace(diff_norm=jnp.zeros((), cdt),
-                              grad_norm=g_norm.astype(cdt))
+    def solve(lam):
+        return _cg_shifted(gd, D, neg_g, jnp.asarray(lam, adt), l2,
+                           solver_eps, cg_maxiter, adt)
 
-    def work(_):
-        def solve_shifted(lam):
-            mv = lambda v: rep_axpy(hop(v), lam.astype(cdt), v)
-            s, _ = cg_rep(gd, mv, neg_g, solver_eps, cg_maxiter, adt)
-            return s
+    def newton(reg):
+        """Safeguarded 1-D Newton on phi(lam) = lam^2 - reg^2 ||s(lam)||^2
+        with s(lam) = -(H + lam I)^{-1} g; two CG solves per iteration
+        (one for s, one for the derivative term), like the reference's
+        func/fprime pair (cubic.py:157-171)."""
+        lam = float(state.r0)
+        it = 0
+        while it < solver_it_max:
+            s, s2_dev, _ = solve(lam)
+            s2 = float(s2_dev)
+            phi = lam * lam - reg * reg * s2
+            hinv_s, _, _ = _cg_shifted(gd, D, s, jnp.asarray(lam, adt),
+                                       l2, solver_eps, cg_maxiter, adt)
+            dphi = 2.0 * lam + 2.0 * reg * reg * float(
+                _rep_dot_j(gd, s, hinv_s, adt))
+            step = phi / dphi
+            lam = max(lam - step, 0.0)
+            it += 1
+            if abs(step) < solver_eps:
+                break
+        return lam, it
 
-        def newton(reg):
-            M = reg
+    reg = float(state.reg_coef) * beta  # optimistic decrease first
+    trials = 0
+    while True:
+        lam, newton_it = newton(reg)
+        s, _, _ = solve(lam)
+        (gamma_new, zeta_new, Ax_new, vhi, vlo, model_dec,
+         norm_s) = _trial_eval(gd, state, g, s,
+                               jnp.asarray(lam, adt),
+                               jnp.asarray(reg, adt), l2, adt)
+        if _ls_accept_host(vhi, vlo, state.value, state.value_lo,
+                           model_dec, cdt):
+            break
+        if trials >= ls_max:
+            break
+        reg /= beta
+        trials += 1
 
-            def cond(st):
-                lam, step, it = st
-                return jnp.logical_and(jnp.abs(step) >= solver_eps,
-                                       it < solver_it_max)
+    if cdt == jnp.float32:
+        # cap fp32 margin drift: stateless re-derivation through K
+        # (see gram_krylov_step)
+        Ax_new, vhi, vlo = _rederive_margins(gd, gamma_new, zeta_new,
+                                             l2, adt)
 
-            def body(st):
-                lam, _, it = st
-                s = solve_shifted(lam)
-                s2 = rep_dot(gd, s, s, adt)
-                p = lam * lam - M * M * s2
-                mv = lambda v: rep_axpy(hop(v), lam.astype(cdt), v)
-                hinv_s, _ = cg_rep(gd, mv, s, solver_eps, cg_maxiter, adt)
-                dphi = 2.0 * lam + 2.0 * M * M * rep_dot(gd, s, hinv_s, adt)
-                step = p / dphi
-                lam_new = jnp.maximum(lam - step, jnp.asarray(0.0, adt))
-                return (lam_new, lam_new - lam, it + 1)
-
-            big = jnp.asarray(jnp.inf, adt)
-            lam, _, it = jax.lax.while_loop(
-                cond, body,
-                (state.r0.astype(adt), big, jnp.asarray(0, jnp.int32)))
-            return lam, it
-
-        def trial(reg):
-            lam, it = newton(reg)
-            s = solve_shifted(lam)
-            norm_s = jnp.sqrt(jnp.maximum(rep_dot(gd, s, s, adt), 0.0))
-            model_dec = (lam / 2.0 * norm_s**2 - reg / 3.0 * norm_s**3
-                         - rep_dot(gd, g, s, adt) / 2.0)
-            gamma_new = gamma + s.beta
-            zeta_new = zeta + s.w
-            Ax_new = Ax + s.u
-            xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
-            vhi, vlo = _gram_value(gd, Ax_new, xsq, l2, adt)
-            return (lam, it, model_dec, gamma_new, zeta_new, Ax_new,
-                    vhi, vlo, s)
-
-        reg0 = state.reg_coef.astype(adt) * beta
-        carry0 = (reg0,) + trial(reg0) + (jnp.asarray(0, jnp.int32),)
-
-        def ls_cond(carry):
-            model_dec, vhi, vlo, trials = (carry[3], carry[7], carry[8],
-                                           carry[-1])
-            bad = jnp.logical_not(
-                ls_accept(vhi, vlo, value, state.value_lo, model_dec))
-            return jnp.logical_and(bad, trials < ls_max)
-
-        def ls_body(carry):
-            reg = carry[0] / beta
-            return (reg,) + trial(reg) + (carry[-1] + 1,)
-
-        (reg, lam, it, _, gamma_new, zeta_new, Ax_new, value_new,
-         value_new_lo, s, _) = \
-            jax.lax.while_loop(ls_cond, ls_body, carry0)
-
-        if cdt == jnp.float32:
-            # cap fp32 margin drift: stateless re-derivation through K
-            # (see gram_krylov_step)
-            Ax_new = gamma_new * gd.Ax0 + gd.K @ zeta_new
-            xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
-            value_new, value_new_lo = _gram_value(gd, Ax_new, xsq, l2, adt)
-
-        diff_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, s, s, adt), 0.0))
-        better = pair_diff(value_new, value_new_lo,
-                           state.f_best, state.f_best_lo) < 0
-        return GramKrylovState(
-            gamma=gamma_new, zeta=zeta_new, Ax=Ax_new, value=value_new,
-            value_lo=value_new_lo,
-            reg_coef=reg_clamp(reg, cdt).astype(cdt), r0=lam.astype(cdt),
-            solver_it=state.solver_it + it,
-            diff_norm=diff_norm.astype(cdt),
-            grad_norm=g_norm.astype(cdt),
-            f_best=jnp.where(better, value_new, state.f_best),
-            f_best_lo=jnp.where(better, value_new_lo, state.f_best_lo),
-        )
-
-    return jax.lax.cond(g_norm < tolerance, early, work, None)
+    value_new = vhi.astype(cdt)
+    value_new_lo = vlo.astype(cdt)
+    better = _pair64(vhi, vlo) < _pair64(state.f_best, state.f_best_lo)
+    return GramKrylovState(
+        gamma=gamma_new, zeta=zeta_new, Ax=Ax_new,
+        value=value_new, value_lo=value_new_lo,
+        reg_coef=reg_clamp(jnp.asarray(reg, cdt), cdt),
+        r0=jnp.asarray(lam, cdt),
+        solver_it=state.solver_it + jnp.asarray(newton_it, jnp.int32),
+        diff_norm=norm_s.astype(cdt),
+        grad_norm=jnp.asarray(g_norm, cdt),
+        f_best=value_new if better else state.f_best,
+        f_best_lo=value_new_lo if better else state.f_best_lo,
+    )
 
 
 class GramCRN(GramKrylov):
