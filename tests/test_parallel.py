@@ -128,3 +128,23 @@ def test_gram_sharded_K_matches_single(mesh):
     np.testing.assert_allclose(np.asarray(g8.state.zeta),
                                np.asarray(g1.state.zeta),
                                rtol=1e-8, atol=1e-11)
+
+
+def test_sscn_rejects_sharded_data_loudly(mesh):
+    """SSCN has no sharded coordinate-gather implementation; constructing
+    it on a ShardedDual oracle must raise a clear error, not fail deep
+    inside a gather (the CLI skips SSCN with a printed warning on the
+    sharded COO path for the same reason)."""
+    import pytest
+
+    from krylov_crn_tpu.parallel.sharded import build_sharded_dual
+    from krylov_crn_tpu.solvers.sscn import SSCN
+
+    A = sp.random(96, 140, density=0.08, random_state=3, format="csr")
+    rng = np.random.default_rng(5)
+    b = np.where(rng.standard_normal(96) > 0, 1.0, -1.0)
+    data = build_sharded_dual(A, mesh, dtype=np.float64)
+    loss = LogisticRegression(data, b)
+    with pytest.raises(NotImplementedError, match="SSCN.*shard"):
+        SSCN(loss=loss, reg_coef=1e-3, subspace_dim=8, tqdm=False,
+             label="sscn")
