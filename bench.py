@@ -1,21 +1,31 @@
-"""Benchmark: end-to-end Krylov-CRN iteration throughput, news20-shaped.
+"""Benchmark: BASELINE.md target metrics on the attached accelerator.
 
-Measures the flagship Gram-space Krylov-CRN solver (m=10) on a synthetic
-news20-shaped logistic problem (19996 x 1355191, ~5.4M nnz — the largest
-dataset in the reference's Figure-2 grid) on the attached accelerator,
-against the *actual reference implementation* running in-process on this
-host's CPU (numba stubbed; /root/reference), same problem, same
-hyperparameters.
+Primary metric (BASELINE.md:28): **wall-clock to a 1e-8 suboptimality gap**
+on the news20-shaped problem (19996 x 1355191, ~9.1M nnz — the largest
+dataset in the reference's Figure-2 grid), *including* the one-time Gram
+build, for the flagship fp32 Gram-space Krylov-CRN solver (m=10) — against
+the actual reference implementation (/root/reference, in-process on this
+host's CPU, fp64 scipy), same problem, same hyperparameters, same shared
+empirical f* (min over every f value either side ever observed, the
+reference's own protocol, cubic_newton.py:109-111,140).
 
-Timing protocol per PERF.md: the solver state is fetched (scalar) after
-the timed block, iterations are chained through the state (data-dependent),
-and compilation is excluded by a warm-up chunk of identical shape. The
-reference is timed over fewer iterations (its per-iteration cost is ~3 s
-and stable); both sides exclude problem setup.
+Also measured and reported as extra JSON fields (BASELINE.md:27-28):
+  - the same time-to-gap race on the rcv1-shaped problem;
+  - K-matvec bandwidth (GB/s) and HBM-roofline fraction — the hot op: a
+    Krylov-CRN iteration is (m+2) K-matvecs;
+  - COO gather-path HVP throughput in nnz/s (the general/sharded fallback
+    path; structurally gather-bound on this chip, see PERF.md);
+  - Gram build seconds per dataset (the setup cost the timed race pays).
+
+Timing protocol per PERF.md: every timed quantity is fetched to host as a
+scalar data-dependent on the work; chained-difference timing cancels
+dispatch overhead; compilation is excluded via same-shape warm-up for the
+throughput probes and *included* (as honest setup cost, amortized by the
+persistent compilation cache) nowhere else than the K build number.
 
 Prints ONE JSON line:
-  {"metric": "krylov_crn_iter_per_s", "value": ..., "unit": "iter/s",
-   "vs_baseline": <ours / reference-on-host-CPU>}
+  {"metric": "time_to_1e-8_gap_news20", "value": <s>, "unit": "s",
+   "vs_baseline": <reference_s / ours_s>, ...extra fields...}
 """
 
 from __future__ import annotations
@@ -27,21 +37,38 @@ import types
 
 import numpy as np
 
-N_TIMED = 32
-N_TIMED_REF = 12
 M = 10
+GAP = 1e-8
+OUR_IT_MAX = 64  # fp32 Krylov m=10 crosses 1e-8 in ~25 its (PERF.md)
+FSTAR_IT = 256  # m=20 benchmark run for the empirical f*
+REF_IT_MAX = 40
+REF_T_MAX = 300.0
 
 
-def _problem():
+def _problem(name):
     from krylov_crn_tpu.data.synthetic import synthetic_logreg
 
-    A, b = synthetic_logreg("news20-like", seed=0)
+    A, b = synthetic_logreg(name, seed=0)
     x0 = np.ones(A.shape[1]) * 0.5
     return A, b, x0
 
 
+def _crossing(ts, gaps, target):
+    """First wall-clock time at which the gap is <= target (None if never)."""
+    for t, g in zip(ts, gaps):
+        if g <= target:
+            return float(t)
+    return None
+
+
 def bench_ours(A, b, x0):
-    import jax
+    """fp32 Gram Krylov-CRN (m=10) on the accelerator.
+
+    Returns (build_s, ts, fs, f_best) where ts/fs are the full-resolution
+    per-iteration wall-times (excluding the build) and two-float-combined
+    loss values, and f_best is the running best across the timed run plus
+    a 4x-budget m=20 benchmark run (reusing the built K) per the
+    reference's f* protocol."""
     import jax.numpy as jnp
 
     from krylov_crn_tpu.config import enable_compilation_cache
@@ -49,36 +76,52 @@ def bench_ours(A, b, x0):
     enable_compilation_cache()
 
     from krylov_crn_tpu.models.logistic import LogisticRegression
-    from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
-    from krylov_crn_tpu.solvers.krylov_gram import (
-        GramKrylov,
-        gram_krylov_multistep,
-    )
+    from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
 
     dtype = np.float32
     loss = LogisticRegression(A, b, dtype=dtype, want_dense=False)
     alg = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=M, tolerance=0,
                      tqdm=False, label="gram")
+    # warm the step program on a tiny same-structure problem? No: shapes
+    # differ per dataset, so the first chunk pays one compile. The
+    # persistent compilation cache amortizes it across bench runs; the
+    # first-chunk wall time is excluded by timing from t0 *after* a
+    # 1-iteration warm-up dispatch below.
     t0 = time.perf_counter()
     alg.init_run(jnp.asarray(x0, dtype), 42)
     alg.initialized = True
     build_s = time.perf_counter() - t0
 
+    # compile the two chunk shapes outside the timed region (compiles are
+    # one-time per dataset shape; the cache makes reruns free)
+    from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
+    from krylov_crn_tpu.solvers.krylov_gram import gram_krylov_multistep
+
     kw = dict(m=M, l2=0.0, beta=0.5, solver_eps=1e-8, solver_it_max=100,
               ls_max=20, reorth_passes=1,
               accum_dtype=_accum_dtype(jnp.dtype(dtype)))
-    # warm-up with the same chunk shape (compile), then time
-    st, _ = gram_krylov_multistep(alg.gd, alg.state, chunk=N_TIMED, **kw)
+    st, _ = gram_krylov_multistep(alg.gd, alg.state, chunk=16, **kw)
     float(st.value)
-    t0 = time.perf_counter()
-    st, _ = gram_krylov_multistep(alg.gd, st, chunk=N_TIMED, **kw)
-    float(st.value)  # forces completion through the transport
-    dt = time.perf_counter() - t0
-    return N_TIMED / dt, build_s, float(st.value)
+
+    trace = alg.run_fused(x0, it_max=OUR_IT_MAX, chunk=16)
+    ts = list(trace.ts)
+    fs = [float(v) for v in trace.loss_vals]
+
+    # empirical f*: higher-budget m=20 run, reusing the built K
+    bench_alg = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=2 * M,
+                           tolerance=0, tqdm=False, label="gram-bench",
+                           gram_data=alg.gd)
+    bench_alg.run_fused(x0, it_max=FSTAR_IT, chunk=32)
+    f_best = float(loss.f_opt)
+    return build_s, ts, fs, f_best
 
 
 def bench_reference(A, b, x0):
-    """The reference implementation, in-process, on the host CPU."""
+    """The reference implementation, in-process, on the host CPU (fp64).
+
+    Returns (ts, fs, f_best) — per-iteration wall times and loss values
+    (its Trace stores every iteration at these it_max), and its own
+    running-best f."""
     if "numba" not in sys.modules:
         numba = types.ModuleType("numba")
         numba.njit = lambda f=None, **kw: (f if callable(f)
@@ -91,37 +134,119 @@ def bench_reference(A, b, x0):
     except ImportError:
         sys.path.remove("/root/reference")
         return None
-    # warm-up instance (numpy/scipy internal caches)
-    warm = Cubic_Krylov_LS(
-        loss=RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True),
-        reg_coef=1e-3, subspace_dim=M, tolerance=0, label="warm",
-        tqdm=False)
-    warm.run(x0=x0, it_max=2, t_max=1e9)
-    # timed fresh instance (a finished seed makes .run() a no-op,
-    # optimizer.py:70-71, so the timed run must be a new optimizer)
-    alg = Cubic_Krylov_LS(
-        loss=RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True),
-        reg_coef=1e-3, subspace_dim=M, tolerance=0, label="ref",
-        tqdm=False)
-    t0 = time.perf_counter()
-    alg.run(x0=x0, it_max=N_TIMED_REF, t_max=1e9)
-    dt = time.perf_counter() - t0
+    ref_loss = RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True)
+    alg = Cubic_Krylov_LS(loss=ref_loss, reg_coef=1e-3, subspace_dim=M,
+                          tolerance=0, label="ref", tqdm=False)
+    alg.run(x0=x0, it_max=REF_IT_MAX, t_max=REF_T_MAX)
+    alg.compute_loss_of_iterates()
     sys.path.remove("/root/reference")
-    assert alg.it >= N_TIMED_REF
-    return N_TIMED_REF / dt
+    return (list(alg.trace.ts), [float(v) for v in alg.trace.loss_vals],
+            float(ref_loss.f_opt))
+
+
+def race(name):
+    """Time-to-1e-8-gap on one dataset; shared f* across implementations."""
+    A, b, x0 = _problem(name)
+    build_s, ts, fs, f_best = bench_ours(A, b, x0)
+    ref = bench_reference(A, b, x0)
+    f_star = f_best if ref is None else min(f_best, ref[2])
+    ours_cross = _crossing(ts, [f - f_star for f in fs], GAP)
+    out = {
+        "build_s": round(build_s, 2),
+        "f_star": f_star,
+        "ours_gap_reached": ours_cross is not None,
+        "ours_s": (round(build_s + ours_cross, 3)
+                   if ours_cross is not None else None),
+        "ours_final_gap": fs and min(fs) - f_star,
+    }
+    if ref is not None:
+        ref_cross = _crossing(ref[0], [f - f_star for f in ref[1]], GAP)
+        out["ref_gap_reached"] = ref_cross is not None
+        # if the reference never crossed within its budget, its total wall
+        # time is an honest *lower bound* on its time-to-gap
+        out["ref_s"] = (round(ref_cross, 3) if ref_cross is not None
+                        else round(ref[0][-1], 3))
+        if out["ours_s"]:
+            out["speedup"] = round(out["ref_s"] / out["ours_s"], 2)
+    return out
+
+
+def kmatvec_roofline(n=20480):
+    """Bandwidth of the hot op (fp32 K-matvec) + HBM roofline fraction."""
+    import jax
+    import jax.numpy as jnp
+
+    from krylov_crn_tpu.utils.profiling import (
+        device_time_per_call,
+        roofline_fraction,
+    )
+
+    key = jax.random.PRNGKey(0)
+    K = jax.random.normal(key, (n, n), jnp.float32) / np.sqrt(n)
+    w = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
+
+    def make_chained(k):
+        @jax.jit
+        def f(K, w):
+            def body(v, _):
+                v = K @ v
+                return v / jnp.linalg.norm(v), ()
+            v, _ = jax.lax.scan(body, w, None, length=k)
+            return v[0]
+        return f
+
+    sec = device_time_per_call(make_chained, (K, w), k1=2, k2=18)
+    gbps = (n * n * 4) / sec / 1e9
+    return round(gbps, 1), round(roofline_fraction(n * n * 4, sec), 3)
+
+
+def coo_hvp_nnz_per_s(name="rcv1-like"):
+    """Gather-path fused HVP throughput (the general/sharded fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from krylov_crn_tpu.data.formats import build_dual
+    from krylov_crn_tpu.ops.spmv import hvp_sparse
+    from krylov_crn_tpu.utils.profiling import device_time_per_call
+
+    A, b, _ = _problem(name)
+    data = build_dual(A, dtype=np.float32, want_dense=False)
+    w = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (data.n,),
+                                  jnp.float32))
+
+    def make_chained(k):
+        @jax.jit
+        def f(w, v):
+            def body(v, _):
+                v = hvp_sparse(data, w, v)
+                return v / jnp.linalg.norm(v), ()
+            v, _ = jax.lax.scan(body, v, None, length=k)
+            return v[0]
+        return f
+
+    v0 = jnp.ones((data.d,), jnp.float32)
+    sec = device_time_per_call(make_chained, (w, v0), k1=1, k2=5)
+    return round(2 * A.nnz / sec / 1e6, 1)  # Mnnz/s (2 SpMVs per HVP)
 
 
 def main():
-    A, b, x0 = _problem()
-    ours_ips, build_s, val = bench_ours(A, b, x0)
-    ref_ips = bench_reference(A, b, x0)
-    vs = (ours_ips / ref_ips) if ref_ips else None
-    print(json.dumps({
-        "metric": "krylov_crn_iter_per_s",
-        "value": round(ours_ips, 2),
-        "unit": "iter/s",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    res_news = race("news20-like")
+    res_rcv1 = race("rcv1-like")
+    gbps, frac = kmatvec_roofline()
+    coo = coo_hvp_nnz_per_s()
+    out = {
+        "metric": "time_to_1e-8_gap_news20",
+        "value": res_news["ours_s"],
+        "unit": "s",
+        "vs_baseline": res_news.get("speedup"),
+        "news20": res_news,
+        "rcv1": res_rcv1,
+        "kmatvec_gbps": gbps,
+        "kmatvec_roofline_frac": frac,
+        "coo_hvp_mnnz_per_s": coo,
+        "gap_target": GAP,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -286,8 +286,11 @@ class GramKrylov(Optimizer):
     def __init__(self, reg_coef=None, subspace_dim=100, solver_eps=1e-8,
                  beta=0.5, solver_it_max=100, ls_max=20, reorth_passes=1,
                  cache_dir=None, mesh=None, fp32_tail_rtol=1e-3,
-                 *args, **kwargs):
+                 gram_data=None, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        # a pre-built GramData skips the one-time K build (must have been
+        # built with the same A and the same x0 — checked in init_state)
+        self._gd_preset = gram_data
         self.subspace_dim = int(subspace_dim)
         self.solver_eps = float(solver_eps)
         self.solver_it_max = int(solver_it_max)
@@ -331,9 +334,19 @@ class GramKrylov(Optimizer):
         self._x0_host = x0h
         self._gn_first = None
         dtype = np.dtype(loss.b.dtype)
-        self.gd = build_gram(A, np.asarray(loss.b)[: A.shape[0]], x0h,
-                             dtype=dtype, cache_dir=self.cache_dir,
-                             mesh=self.mesh)
+        if self._gd_preset is not None:
+            gd = self._gd_preset
+            if not np.isclose(float(gd.x0_sqnorm), float(x0h @ x0h),
+                              rtol=1e-5):
+                raise ValueError(
+                    "gram_data was built for a different x0 "
+                    f"(|x0|^2={float(gd.x0_sqnorm):.6g} vs "
+                    f"{float(x0h @ x0h):.6g})")
+            self.gd = gd
+        else:
+            self.gd = build_gram(A, np.asarray(loss.b)[: A.shape[0]], x0h,
+                                 dtype=dtype, cache_dir=self.cache_dir,
+                                 mesh=self.mesh)
         cdt = jnp.dtype(dtype)
         npad = self.gd.n_padded
         adt = _accum_dtype(cdt)
