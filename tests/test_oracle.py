@@ -66,6 +66,17 @@ def test_hvp_matches_hessian(oracle_pair):
                                hess(x0) @ v, rtol=1e-10, atol=1e-14)
 
 
+def test_hvp_grad_dif_fallback(oracle_pair):
+    """Finite-difference HVP option (reference loss.py:289-293)."""
+    loss, _, _, hess, x0 = oracle_pair
+    v = np.random.default_rng(1).standard_normal(len(x0))
+    eps = 1e-6
+    fd = np.asarray(loss.hess_vec_prod(x0, v, grad_dif=True, eps=eps))
+    np.testing.assert_allclose(fd, hess(x0) @ v, rtol=1e-4, atol=1e-6)
+    with pytest.raises(ValueError):
+        loss.hess_vec_prod(x0, v, grad_dif=True)
+
+
 def test_partials(oracle_pair):
     loss, _, grad, hess, x0 = oracle_pair
     I = np.array([1, 5, 9, 33, 50])

@@ -1,0 +1,286 @@
+"""Figure-2 grid on the attached accelerator: committed convergence artifact.
+
+Reproduces the reference's Figure-2 experiment grid
+(/root/reference/cubic_newton.sh:3-8) on synthetic stand-ins shaped like the
+LIBSVM datasets, with the fp32 TPU solvers, and records gap-vs-iteration /
+gap-vs-time curves as JSON + PDF under artifacts/figure2/. This is the
+committed evidence for BASELINE.md's convergence-parity row ("fp32 +
+compensated on TPU, fp64 host verification").
+
+Three legs, merged into one JSON per dataset:
+
+  * ``tpu-fp32`` (default): CRN + SSCN (subset of the grid dims) +
+    Krylov-CRN m=10 + the 5x-budget m=20 benchmark run that defines the
+    empirical f* (reference protocol, cubic_newton.py:71-73,109-111,140);
+  * ``--with-reference``: the actual reference implementation
+    (/root/reference, in-process, fp64 scipy on this host's CPU), same
+    problem and hyperparameters, Krylov + CRN (SSCN dims optional — its
+    uncapped line search is slow at large m);
+  * ``--leg cpu-fp64`` (run as a separate process with JAX_PLATFORMS=cpu
+    JAX_ENABLE_X64=1): the same framework solver in fp64 on host CPU — the
+    verification run showing the fp32 curves are not an artifact of TPU
+    numerics.
+
+The shared f* for the gap curves is min over every f value any leg ever
+observed, folded across legs through the merged JSON.
+
+Usage (TPU leg + reference, all three datasets):
+    python tools/run_figure2.py --dataset all --with-reference
+    JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 python tools/run_figure2.py \
+        --dataset rcv1-like --leg cpu-fp64 --it_max 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GRID = {
+    # dataset -> (it_max, sscn_dims) per cubic_newton.sh:3-8 (SSCN dims
+    # subset: the largest dims dominate wall clock without changing the
+    # qualitative figure)
+    "w8a-like": (100, [10, 50]),
+    "rcv1-like": (50, [10, 100]),
+    "news20-like": (50, [10, 500]),
+}
+REF_T_MAX = 240.0
+
+
+def build_problem(name, seed=0):
+    from krylov_crn_tpu.data.synthetic import synthetic_logreg
+
+    A, b = synthetic_logreg(name, seed=seed)
+    x0 = np.ones(A.shape[1]) * 0.5
+    return A, b, x0
+
+
+def curve_of(trace, f_ref=None):
+    fs = [float(v) for v in trace.loss_vals]
+    return {"its": [int(i) for i in trace.its],
+            "ts": [float(t) for t in trace.ts],
+            "fs": fs}
+
+
+def run_ours(A, b, x0, it_max, sscn_dims, dtype, leg):
+    """Framework solvers on whatever backend this process sees."""
+    import jax.numpy as jnp
+
+    from krylov_crn_tpu.config import enable_compilation_cache
+    from krylov_crn_tpu.models.logistic import LogisticRegression
+
+    enable_compilation_cache()
+    n, dim = A.shape
+    use_gram = n <= 45056 and n <= 4 * dim
+    loss = LogisticRegression(A, b, dtype=dtype,
+                              want_dense=None if dim < 500 else False)
+    curves = {}
+    t_budget = REF_T_MAX
+
+    if use_gram:
+        from krylov_crn_tpu.solvers.crn_gram import GramCRN
+        from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
+
+        crn = GramCRN(loss=loss, reg_coef=1e-3, tolerance=1e-8,
+                      tqdm=False, label="CRN")
+        crn.run(x0=np.asarray(x0), it_max=it_max, t_max=t_budget)
+        crn.compute_loss_of_iterates()
+        curves["CRN"] = curve_of(crn.trace)
+        gd = getattr(crn, "gd", None)
+
+        kry = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=10,
+                         tolerance=0, tqdm=False, label="Krylov CRN (m=10)",
+                         gram_data=gd)
+        tr = kry.run_fused(x0, it_max=it_max)
+        curves["Krylov CRN (m=10)"] = curve_of(tr)
+
+        bench = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=20,
+                           tolerance=0, tqdm=False, label="bench",
+                           gram_data=kry.gd)
+        btr = bench.run_fused(x0, it_max=5 * it_max)
+        curves["Benchmark Krylov CRN (m=20)"] = curve_of(btr)
+    else:
+        from krylov_crn_tpu.solvers import CubicKrylov, CubicNewton
+
+        crn = CubicNewton(loss=loss, reg_coef=1e-3, tolerance=1e-8,
+                          cubic_solver="full" if dim < 500 else "CG",
+                          tqdm=False, label="CRN")
+        crn.run(x0=np.asarray(x0), it_max=it_max, t_max=t_budget)
+        crn.compute_loss_of_iterates()
+        curves["CRN"] = curve_of(crn.trace)
+
+        kry = CubicKrylov(loss=loss, reg_coef=1e-3, subspace_dim=10,
+                          tolerance=0, tqdm=False, label="Krylov CRN (m=10)")
+        kry.run(x0=np.asarray(x0), it_max=it_max, t_max=t_budget)
+        kry.compute_loss_of_iterates()
+        curves["Krylov CRN (m=10)"] = curve_of(kry.trace)
+
+        bench = CubicKrylov(loss=loss, reg_coef=1e-3, subspace_dim=20,
+                            tolerance=0, tqdm=False, label="bench")
+        bench.run(x0=np.asarray(x0), it_max=5 * it_max, t_max=5 * t_budget)
+        bench.compute_loss_of_iterates()
+        curves["Benchmark Krylov CRN (m=20)"] = curve_of(bench.trace)
+
+    from krylov_crn_tpu.solvers import SSCN
+
+    for m in sscn_dims:
+        alg = SSCN(loss=loss, reg_coef=1e-3, subspace_dim=m, tolerance=0,
+                   tqdm=False, label=f"SSCN (m={m})")
+        alg.run(x0=np.asarray(x0), it_max=it_max, t_max=t_budget)
+        alg.compute_loss_of_iterates()
+        curves[f"SSCN (m={m})"] = curve_of(alg.trace)
+
+    f_best = float(loss.f_opt)
+    return curves, f_best
+
+
+def run_reference(A, b, x0, it_max, sscn_dims):
+    """The actual reference implementation, in-process, host CPU fp64."""
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+        numba.njit = lambda f=None, **kw: (f if callable(f)
+                                           else (lambda g: g))
+        sys.modules["numba"] = numba
+    sys.path.insert(0, "/root/reference")
+    from optimizer.cubic import SSCN as RefSSCN
+    from optimizer.cubic import Cubic_Krylov_LS, Cubic_LS
+    from optimizer.loss import LogisticRegression as RefLogReg
+
+    curves = {}
+    n, dim = A.shape
+    loss = RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True)
+    loss_csc = RefLogReg(A.tocsc(), b, l1=0, l2=0, store_mat_vec_prod=True)
+
+    crn = Cubic_LS(loss=loss, reg_coef=1e-3, tolerance=1e-8, tqdm=False,
+                   cubic_solver="full" if dim < 500 else "CG", label="CRN")
+    crn.run(x0=np.asarray(x0, np.float64), it_max=it_max,
+            t_max=REF_T_MAX if dim < 500 else 60.0)
+    crn.compute_loss_of_iterates()
+    curves["CRN"] = curve_of(crn.trace)
+
+    kry = Cubic_Krylov_LS(loss=loss, reg_coef=1e-3, subspace_dim=10,
+                          tolerance=0, tqdm=False, label="Krylov CRN (m=10)")
+    kry.run(x0=np.asarray(x0, np.float64), it_max=it_max, t_max=REF_T_MAX)
+    kry.compute_loss_of_iterates()
+    curves["Krylov CRN (m=10)"] = curve_of(kry.trace)
+
+    for m in sscn_dims:
+        alg = RefSSCN(loss=loss_csc, reg_coef=1e-3, subspace_dim=m,
+                      tqdm=False, label=f"SSCN (m={m})")
+        alg.run(x0=np.asarray(x0, np.float64), it_max=it_max, t_max=60.0)
+        alg.compute_loss_of_iterates()
+        curves[f"SSCN (m={m})"] = curve_of(alg.trace)
+
+    f_best = float(min(loss.f_opt, loss_csc.f_opt))
+    sys.path.remove("/root/reference")
+    return curves, f_best
+
+
+def merge_json(path, dataset, leg, curves, f_best, meta):
+    data = {}
+    if os.path.isfile(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    data.setdefault("dataset", dataset)
+    data.update(meta)
+    legs = data.setdefault("legs", {})
+    legs[leg] = {"curves": curves, "f_best": f_best,
+                 "recorded": time.strftime("%Y-%m-%d %H:%M:%S")}
+    data["f_star"] = min(v["f_best"] for v in legs.values())
+    # final gaps per leg/alg against the shared f*
+    data["final_gaps"] = {
+        lg: {alg: (min(c["fs"]) - data["f_star"] if c["fs"] else None)
+             for alg, c in v["curves"].items()}
+        for lg, v in legs.items()}
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+    return data
+
+
+def plot(path_json, out_pdf, time_axis=False):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(path_json) as fh:
+        data = json.load(fh)
+    f_star = data["f_star"]
+    plt.figure(figsize=(6.4, 4.8))
+    styles = {"tpu-fp32": "-", "reference": "--", "cpu-fp64": ":"}
+    markers = {"CRN": "o", "Krylov CRN (m=10)": "v"}
+    for leg, v in data["legs"].items():
+        for alg, c in v["curves"].items():
+            if alg.startswith("Benchmark"):
+                continue
+            xs = c["ts"] if time_axis else c["its"]
+            gaps = np.maximum(np.asarray(c["fs"]) - f_star, 1e-16)
+            plt.plot(xs, gaps, styles.get(leg, "-"),
+                     marker=markers.get(alg, "^"), markersize=4,
+                     markevery=max(1, len(gaps) // 20),
+                     label=f"{alg} [{leg}]")
+    plt.yscale("log")
+    plt.xlabel("Time (s)" if time_axis else "Iteration")
+    plt.ylabel(r"$f(x)-f^*$")
+    plt.title("{} (n={:,}, d={:,})".format(
+        data["dataset"], data.get("n", 0), data.get("d", 0)))
+    plt.legend(fontsize=7)
+    plt.grid(alpha=0.4)
+    plt.tight_layout()
+    plt.savefig(out_pdf)
+    plt.close()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="all",
+                   choices=["all", *GRID.keys()])
+    p.add_argument("--leg", default="tpu-fp32",
+                   choices=["tpu-fp32", "cpu-fp64"])
+    p.add_argument("--with-reference", action="store_true")
+    p.add_argument("--it_max", type=int, default=None)
+    p.add_argument("--out", default="artifacts/figure2")
+    args = p.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    names = list(GRID) if args.dataset == "all" else [args.dataset]
+    for name in names:
+        it_max, sscn_dims = GRID[name]
+        if args.it_max:
+            it_max = args.it_max
+        A, b, x0 = build_problem(name)
+        meta = {"n": A.shape[0], "d": A.shape[1], "nnz": int(A.nnz),
+                "it_max": it_max}
+        jpath = os.path.join(args.out, f"{name}.json")
+
+        dtype = np.float64 if args.leg == "cpu-fp64" else np.float32
+        t0 = time.perf_counter()
+        curves, f_best = run_ours(A, b, x0, it_max, sscn_dims, dtype,
+                                  args.leg)
+        print(f"[{name}] {args.leg} leg: {time.perf_counter()-t0:.0f}s")
+        data = merge_json(jpath, name, args.leg, curves, f_best, meta)
+
+        if args.with_reference:
+            t0 = time.perf_counter()
+            rcurves, rbest = run_reference(A, b, x0, it_max, sscn_dims)
+            print(f"[{name}] reference leg: {time.perf_counter()-t0:.0f}s")
+            data = merge_json(jpath, name, "reference", rcurves, rbest, meta)
+
+        plot(jpath, os.path.join(args.out, f"iteration_{name}.pdf"))
+        plot(jpath, os.path.join(args.out, f"time_{name}.pdf"),
+             time_axis=True)
+        print(f"[{name}] f* = {data['f_star']:.12g}")
+        for leg, gaps in data["final_gaps"].items():
+            print(f"  {leg}: " + ", ".join(
+                f"{a}={g:.3g}" for a, g in gaps.items() if g is not None))
+
+
+if __name__ == "__main__":
+    main()
