@@ -34,7 +34,16 @@ Design rules that shape everything here (measured on TPU v5e):
 
 __version__ = "0.1.0"
 
-from krylov_crn_tpu.config import enable_x64  # noqa: F401
+from krylov_crn_tpu.config import (  # noqa: F401
+    enable_x64,
+    pin_fp32_matmul_precision,
+)
+
+# fp32 algebra must be fp32: without this, TPU lowers fp32 mat-mat products
+# to 1-pass bf16 (~2.4e-3 error — measured; see config.py docstring), which
+# silently destroys the solver's 1e-8 gap targets. Applied at import so no
+# entry point (CLI, bench, tests, user code) can miss it.
+pin_fp32_matmul_precision()
 from krylov_crn_tpu.data.formats import SparseMatrix, DualSparse  # noqa: F401
 from krylov_crn_tpu.models.logistic import LogisticRegression  # noqa: F401
 from krylov_crn_tpu.solvers.krylov_crn import CubicKrylov  # noqa: F401

@@ -80,9 +80,13 @@ def secular_newton(
     lam0 = jnp.maximum(jnp.asarray(r0, dt), lo_strict)
 
     def phi_and_grad(lam):
+        # zero-weight eigenpairs (masked Lanczos tails, or an exactly
+        # zero gradient at numerical convergence) must not produce 0/0:
+        # drop their terms instead of dividing (c2 == 0 -> term == 0)
         denom = theta + lam
-        s2 = jnp.sum(c2 / (denom * denom))
-        s3 = jnp.sum(c2 / (denom * denom * denom))
+        safe = jnp.where(c2 > 0, denom, 1.0)
+        s2 = jnp.sum(jnp.where(c2 > 0, c2 / (safe * safe), 0.0))
+        s3 = jnp.sum(jnp.where(c2 > 0, c2 / (safe * safe * safe), 0.0))
         phi = lam * lam - M * M * s2
         dphi = 2.0 * lam + 2.0 * M * M * s3
         return phi, dphi
@@ -118,7 +122,7 @@ def cubic_solve_eigh(
     dt = theta.dtype
     c = Q.T @ g.astype(dt)
     lam, it = secular_newton(theta, c, M, r0, xtol=xtol, it_max=it_max)
-    u = -c / (theta + lam)
+    u = jnp.where(c != 0, -c / jnp.where(c != 0, theta + lam, 1.0), 0.0)
     s = Q @ u
     norm_s = jnp.sqrt(jnp.sum(u * u))
     M = jnp.asarray(M, dt)

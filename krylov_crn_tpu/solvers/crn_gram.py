@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from krylov_crn_tpu.ops.gram import GramData, Rep, rep_axpy, rep_dot
-from krylov_crn_tpu.ops.math import reg_clamp
+from krylov_crn_tpu.ops.math import reg_clamp, two_sum
 from krylov_crn_tpu.solvers.base import Optimizer
 from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
 from krylov_crn_tpu.solvers.krylov_gram import (
@@ -85,19 +85,27 @@ def cg_rep(gd: GramData, matvec, b: Rep, rtol, maxiter, adt):
 
 @functools.partial(jax.jit, static_argnames=("l2", "accum_dtype"))
 def _grad_probe(gd: GramData, state: GramKrylovState, l2, accum_dtype):
-    """Gradient rep g, ||g||, and the Hessian weights D — one K-matvec."""
+    """Gradient rep g, ||g||, Hessian weights D — one K-matvec.
+
+    The gradient image is maintained incrementally through the state's
+    (w_g, uK) invariant (see GramKrylovState): the matvec runs on the
+    step-sized dw, so its error floor scales with convergence. Returns
+    the refreshed (w_new, uK) for the caller to commit."""
     cdt = state.zeta.dtype
     adt = jnp.dtype(accum_dtype)
     n = gd.n
-    sig = jax.nn.sigmoid(state.Ax)
+    sig0 = jax.nn.sigmoid(state.Ax)
+    sig = sig0 + sig0 * (1.0 - sig0) * state.Ax_lo
     residual = (sig - gd.b) * gd.mask
-    w_g = residual / n + (l2 * state.zeta if l2 else 0.0)
+    w_new = residual / n + (l2 * state.zeta if l2 else 0.0)
+    dw = w_new - state.w_g
+    uK = state.uK + gd.K @ dw
     beta_g = jnp.asarray(l2, cdt) * state.gamma
-    u_g = beta_g * gd.Ax0 + gd.K @ w_g
-    g = Rep(beta_g, w_g, u_g)
+    u_g = beta_g * gd.Ax0 + uK
+    g = Rep(beta_g, w_new, u_g)
     g_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, g, g, adt), 0.0))
-    D = sig * (1.0 - sig) * gd.mask / n
-    return g, g_norm, D
+    D = sig0 * (1.0 - sig0) * gd.mask / n
+    return g, g_norm, D, w_new, uK
 
 
 def _hop(gd: GramData, D, l2, cdt):
@@ -144,21 +152,12 @@ def _trial_eval(gd: GramData, state: GramKrylovState, g: Rep, s: Rep,
                  - rep_dot(gd, g, s, adt) / 2.0)
     gamma_new = state.gamma + s.beta
     zeta_new = state.zeta + s.w
-    Ax_new = state.Ax + s.u
-    xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
-    vhi, vlo = _gram_value(gd, Ax_new, xsq, l2, adt)
-    return gamma_new, zeta_new, Ax_new, vhi, vlo, model_dec, norm_s
-
-
-@functools.partial(jax.jit, static_argnames=("l2", "accum_dtype"))
-def _rederive_margins(gd: GramData, gamma, zeta, l2, accum_dtype):
-    """Stateless margins re-derivation through the fp32 K (drift cap —
-    see gram_krylov_step)."""
-    adt = jnp.dtype(accum_dtype)
-    Ax = gamma * gd.Ax0 + gd.K @ zeta
-    xsq = _x_sqnorm(gd, gamma, zeta, Ax, adt)
-    vhi, vlo = _gram_value(gd, Ax, xsq, l2, adt)
-    return Ax, vhi, vlo
+    Ax_new, e = two_sum(state.Ax, s.u)
+    Ax_lo_new = state.Ax_lo + e
+    xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt, Ax_lo=Ax_lo_new)
+    vhi, vlo = _gram_value(gd, Ax_new, xsq, l2, adt, Ax_lo=Ax_lo_new)
+    return (gamma_new, zeta_new, Ax_new, Ax_lo_new, vhi, vlo, model_dec,
+            norm_s)
 
 
 def _pair64(hi, lo):
@@ -193,7 +192,8 @@ def gram_crn_step(
     adt = jnp.dtype(accum_dtype)
     l2 = float(l2)
 
-    g, g_norm_dev, D = _grad_probe(gd, state, l2, adt)
+    g, g_norm_dev, D, w_new, uK_new = _grad_probe(gd, state, l2, adt)
+    state = state._replace(w_g=w_new, uK=uK_new)
     g_norm = float(g_norm_dev)
 
     if tolerance > 0.0 and g_norm < tolerance:
@@ -233,7 +233,7 @@ def gram_crn_step(
     while True:
         lam, newton_it = newton(reg)
         s, _, _ = solve(lam)
-        (gamma_new, zeta_new, Ax_new, vhi, vlo, model_dec,
+        (gamma_new, zeta_new, Ax_new, Ax_lo_new, vhi, vlo, model_dec,
          norm_s) = _trial_eval(gd, state, g, s,
                                jnp.asarray(lam, adt),
                                jnp.asarray(reg, adt), l2, adt)
@@ -245,17 +245,12 @@ def gram_crn_step(
         reg /= beta
         trials += 1
 
-    if cdt == jnp.float32:
-        # cap fp32 margin drift: stateless re-derivation through K
-        # (see gram_krylov_step)
-        Ax_new, vhi, vlo = _rederive_margins(gd, gamma_new, zeta_new,
-                                             l2, adt)
-
     value_new = vhi.astype(cdt)
     value_new_lo = vlo.astype(cdt)
     better = _pair64(vhi, vlo) < _pair64(state.f_best, state.f_best_lo)
     return GramKrylovState(
-        gamma=gamma_new, zeta=zeta_new, Ax=Ax_new,
+        gamma=gamma_new, zeta=zeta_new, Ax=Ax_new, Ax_lo=Ax_lo_new,
+        w_g=state.w_g, uK=state.uK,
         value=value_new, value_lo=value_new_lo,
         reg_coef=reg_clamp(jnp.asarray(reg, cdt), cdt),
         r0=jnp.asarray(lam, cdt),

@@ -44,9 +44,33 @@ __all__ = ["GramKrylov", "GramKrylovState", "gram_krylov_step"]
 
 
 class GramKrylovState(NamedTuple):
+    """Committed Gram-space iterate plus the fp32-tail numerics state.
+
+    Margins are a two-float pair (Ax, Ax_lo): incremental updates are
+    accumulated with error-free two-sums, so the pair tracks the exact
+    margins to ~2x fp32 precision between host corrections — a plain
+    fp32 margin array drifts one rounding per iteration, which round-2
+    measured as accept-test corruption (f increases of 1e-4+) whenever
+    exact corrections were more than ~8 iterations apart.
+
+    (w_g, uK) maintain the *gradient image* incrementally: uK == K @ w_g
+    with w_g the previous iteration's weight vector. A fresh fp32
+    matvec K @ w carries absolute error ~1.3e-7*||K||*||w|| — constant
+    while the true image ||A g|| -> 0, so recomputing from scratch
+    drowns the tail gradient (and hence g_norm, the Lanczos start
+    vector, and the whole subspace) in noise once ||g|| drops ~4 orders.
+    Updating uK += K @ (w_new - w_g) makes the matvec error
+    proportional to the *step-sized* dw instead: the error floor scales
+    down with convergence (classic iterative-refinement structure).
+    Under x64 (CPU verification) the pairs carry lo = 0 and the
+    incremental path is exact to fp64 roundoff."""
+
     gamma: jax.Array  # coefficient of x0 in x = gamma*x0 + A^T zeta
     zeta: jax.Array  # (n_pad,)
-    Ax: jax.Array  # margins (n_pad,), invariant: gamma*Ax0 + K zeta
+    Ax: jax.Array  # margins hi (n_pad,), invariant: gamma*Ax0 + K zeta
+    Ax_lo: jax.Array  # margins lo (two-float pair with Ax)
+    w_g: jax.Array  # (n_pad,) weight vector of the last gradient image
+    uK: jax.Array  # (n_pad,) == K @ w_g, maintained incrementally
     value: jax.Array  # f(x) two-float hi part (lo below; lo = 0 under x64)
     value_lo: jax.Array
     reg_coef: jax.Array
@@ -67,7 +91,7 @@ class GramCheckpoint(NamedTuple):
     x_sqnorm: jax.Array
 
 
-def _gram_value(gd: GramData, Ax, x_sqnorm, l2, adt):
+def _gram_value(gd: GramData, Ax, x_sqnorm, l2, adt, Ax_lo=None):
     """f from margins as a two-float (hi, lo) pair.
 
     Under x64 (CPU verification) lo = 0 and hi is the plain fp64 value; in
@@ -75,9 +99,17 @@ def _gram_value(gd: GramData, Ax, x_sqnorm, l2, adt):
     accept tests and suboptimality gaps resolve below fp32 eps (the
     reference is fp64 end-to-end and needs none of this). Terms are scaled
     by 1/n *before* the reduction: each term's rounding error then enters
-    at eps*|term|/n and the compensated sum keeps the total near eps^2."""
+    at eps*|term|/n and the compensated sum keeps the total near eps^2.
+
+    ``Ax_lo``: optional margin-pair lo part. The per-term loss
+    phi(m) = (1-b)m - logsig(m) is evaluated at the hi margins and
+    corrected to first order, phi(hi+lo) ~= phi(hi) + (sigmoid(hi)-b)*lo
+    (|lo| <= eps|m|, so the second-order term is ~eps^2 — negligible)."""
     terms = ((1.0 - gd.b) * Ax - logsig(Ax)) * (gd.mask / gd.n)
     hi, lo = accum_sum_pair(terms.astype(adt), adt)
+    if Ax_lo is not None:
+        corr = (jax.nn.sigmoid(Ax) - gd.b) * (gd.mask / gd.n) * Ax_lo
+        lo = lo + jnp.sum(corr.astype(adt))
     if l2:
         t = jnp.asarray(l2 / 2.0, adt) * x_sqnorm.astype(adt)
         hi, e = two_sum(hi, t)
@@ -85,14 +117,17 @@ def _gram_value(gd: GramData, Ax, x_sqnorm, l2, adt):
     return hi, lo
 
 
-def _x_sqnorm(gd: GramData, gamma, zeta, Ax, adt):
+def _x_sqnorm(gd: GramData, gamma, zeta, Ax, adt, Ax_lo=None):
     """|x|^2 = g^2|x0|^2 + 2g Ax0.zeta + zeta.K zeta, with
     K zeta = Ax - g Ax0 (margins invariant)."""
     z = zeta.astype(adt)
     g = gamma.astype(adt)
-    return (g * g * gd.x0_sqnorm.astype(adt)
-            + g * jnp.dot(gd.Ax0.astype(adt), z)
-            + jnp.dot(z, Ax.astype(adt)))
+    out = (g * g * gd.x0_sqnorm.astype(adt)
+           + g * jnp.dot(gd.Ax0.astype(adt), z)
+           + jnp.dot(z, Ax.astype(adt)))
+    if Ax_lo is not None:
+        out = out + jnp.dot(z, Ax_lo.astype(adt))
+    return out
 
 
 def _lr_matvec(K_lr, q, cdt):
@@ -103,10 +138,23 @@ def _lr_matvec(K_lr, q, cdt):
     ).astype(cdt)
 
 
+def _mm(a, b):
+    """fp32 mat-mat product at explicit HIGHEST precision.
+
+    Rank-2 x rank-2 fp32 products at DEFAULT precision lower to one bf16
+    MXU pass on TPU (~2.4e-3 relative error, measured — the round-2
+    convergence stall traced back to exactly this in the Vu refresh and
+    the batched line-search margin updates). The package pins the global
+    default (config.pin_fp32_matmul_precision), and the load-bearing
+    sites use this helper so correctness doesn't hinge on the global."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("m", "l2", "beta", "solver_eps", "solver_it_max",
-                     "ls_max", "reorth_passes", "accum_dtype", "rederive"),
+                     "ls_max", "reorth_passes", "accum_dtype", "rederive",
+                     "use_lr"),
 )
 def gram_krylov_step(
     gd: GramData,
@@ -119,7 +167,8 @@ def gram_krylov_step(
     ls_max: int = 20,
     reorth_passes: int = 1,
     accum_dtype=jnp.float32,
-    rederive: bool = True,
+    rederive: bool = False,
+    use_lr: bool = True,
 ) -> GramKrylovState:
     """One Krylov-CRN iteration, TPU-shaped:
 
@@ -137,18 +186,32 @@ def gram_krylov_step(
     n = gd.n
     L = ls_max + 1
 
-    gamma, zeta, Ax, value = state.gamma, state.zeta, state.Ax, state.value
+    gamma, zeta, Ax, Ax_lo, value = (state.gamma, state.zeta, state.Ax,
+                                     state.Ax_lo, state.value)
 
-    # gradient rep: g = l2*gamma * x0 + A^T (residual/n + l2*zeta)
-    sig = jax.nn.sigmoid(Ax)
+    # gradient rep: g = l2*gamma * x0 + A^T (residual/n + l2*zeta);
+    # sigma evaluated from the margin pair (first-order in lo)
+    sig0 = jax.nn.sigmoid(Ax)
+    sig = sig0 + sig0 * (1.0 - sig0) * Ax_lo
     residual = (sig - gd.b) * gd.mask
-    w_g = residual / n + (l2 * zeta if l2 else 0.0)
+    w_new = residual / n + (l2 * zeta if l2 else 0.0)
+    # incremental gradient image: uK == K @ w_g held by the state; the
+    # fresh matvec runs on the *step-sized* dw, so its absolute error
+    # ~1.3e-7*||K||*||dw|| scales down with convergence instead of
+    # staying at the ~1.3e-7*||K||*||w|| floor that drowned the tail
+    # gradient when the image was recomputed from scratch (round 2).
+    dw = w_new - state.w_g
+    uK = state.uK + gd.K @ dw
     beta_g = jnp.asarray(l2, cdt) * gamma
-    u_g = beta_g * gd.Ax0 + gd.K @ w_g  # fp32 K: gradient image is exact
-    g = Rep(beta_g, w_g, u_g)
+    u_g = beta_g * gd.Ax0 + uK
+    g = Rep(beta_g, w_new, u_g)
 
     D = sig * (1.0 - sig) * gd.mask / n
-    K_lz = gd.K_lanczos
+    # `use_lr` is a *static* switch between the bf16 Lanczos K (head
+    # phase) and the full-precision K (tail): the round-2 version flipped
+    # by mutating gd (K_lr -> None), which changed the pytree structure
+    # and forced a mid-run recompile of the whole multistep program.
+    K_lz = gd.K_lr if (use_lr and gd.K_lr is not None) else gd.K
 
     def hop(v: Rep) -> Rep:
         q = D * v.u
@@ -172,7 +235,7 @@ def gram_krylov_step(
         # one symmetric GEMM: u_j = beta_j*Ax0 + K w_j, so
         # Vu = Vb x Ax0 + Vw @ K (K = K^T) — K streams once, costing
         # about one matvec's bandwidth for all m columns.
-        Vu32 = lz.Vb[:, None] * gd.Ax0[None, :] + lz.Vw @ gd.K
+        Vu32 = lz.Vb[:, None] * gd.Ax0[None, :] + _mm(lz.Vw, gd.K)
         lz = lz._replace(Vu=Vu32)
 
     theta, Q = tridiag_eigh(lz.alphas.astype(adt), lz.betas.astype(adt))
@@ -186,19 +249,29 @@ def gram_krylov_step(
         lambda M: secular_newton(theta, c, M, state.r0.astype(adt),
                                  xtol=solver_eps, it_max=solver_it_max)
     )(regs)
-    U = -c[None, :] / (theta[None, :] + lams[:, None])  # (L, m)
+    # (L, m); zero-weight modes (masked tails / exactly-converged g)
+    # contribute a zero step, not 0/0
+    denom = theta[None, :] + lams[:, None]
+    U = jnp.where(c[None, :] != 0,
+                  -c[None, :] / jnp.where(c[None, :] != 0, denom, 1.0), 0.0)
     S = U @ Q.T  # (L, m) steps in Lanczos coordinates
     norm_s = jnp.sqrt(jnp.sum(U * U, axis=1))
     model_decs = (lams / 2.0 * norm_s**2 - regs / 3.0 * norm_s**3
                   - g_norm * S[:, 0] / 2.0)
     S_c = S.astype(cdt)
     gammas = gamma + S_c @ lz.Vb  # (L,)
-    zetas = zeta[None, :] + S_c @ lz.Vw  # (L, n_pad)
-    Axs = Ax[None, :] + S_c @ lz.Vu  # (L, n_pad)
-    xsqs = jax.vmap(lambda gm, zt, ax: _x_sqnorm(gd, gm, zt, ax, adt))(
-        gammas, zetas, Axs)
-    vhis, vlos = jax.vmap(lambda ax, xq: _gram_value(gd, ax, xq, l2, adt))(
-        Axs, xsqs)
+    zetas = zeta[None, :] + _mm(S_c, lz.Vw)  # (L, n_pad)
+    # candidate margins as two-float pairs: the increment is added with
+    # an error-free two-sum so the committed pair carries the exact
+    # update (drift enters only through the increment's own ~1e-7 GEMM
+    # rounding, which is step-sized — not through pair accumulation)
+    inc = _mm(S_c, lz.Vu)  # (L, n_pad)
+    Axs, inc_err = two_sum(Ax[None, :], inc)
+    Axs_lo = Ax_lo[None, :] + inc_err
+    xsqs = jax.vmap(lambda gm, zt, ax, axl: _x_sqnorm(
+        gd, gm, zt, ax, adt, Ax_lo=axl))(gammas, zetas, Axs, Axs_lo)
+    vhis, vlos = jax.vmap(lambda ax, axl, xq: _gram_value(
+        gd, ax, xq, l2, adt, Ax_lo=axl))(Axs, Axs_lo, xsqs)
 
     # accept test on the two-float gap: NaN-safe (NaN -> not ok)
     ok = ls_accept(vhis, vlos, value, state.value_lo, model_decs)
@@ -210,25 +283,23 @@ def gram_krylov_step(
     s_c = S_c[idx]
 
     if rederive and (K_lz.dtype != gd.K.dtype or cdt == jnp.float32):
-        # Re-derive the committed margins through the full-precision K and
-        # refresh the value: on the bf16-Lanczos path the search margins
-        # flowed through bf16 Vu, so the committed state must not keep
-        # them. The cost of re-derivation is a *fresh* ~5.5e-7-relative
-        # matvec rounding in the committed value every iteration — the
-        # line search then compares accurate trial differences against a
-        # wobbling base, which floors the reachable gap at ~1e-5
-        # (measured, fp64-verified). Once the run enters the fp32 tail
-        # (K_lr dropped), run_fused therefore switches to rederive=False:
-        # incremental margins keep trial/committed errors correlated
-        # (differences accurate to ~1e-10) and the accumulated drift is
-        # cancelled by the exact fp64 host correction at chunk
-        # boundaries. The fp64 verification path also keeps the
-        # incremental form.
+        # Re-derive the committed margins through the full-precision K
+        # and refresh the value. With pair margins this is normally OFF
+        # (run_fused passes rederive=False): the incremental pair is
+        # *more* accurate than a fresh matvec — re-derivation injects a
+        # fresh ~1.3e-7-relative matvec rounding into the committed
+        # value every iteration, flooring the reachable gap (measured at
+        # ~1e-5 in round 2), while the incremental pair only accumulates
+        # step-sized increment errors that the host fp64 correction at
+        # chunk boundaries resets. Kept for A/B and for callers without
+        # a host matrix (no exact correction available).
         Ax_new = gamma_new * gd.Ax0 + gd.K @ zeta_new
+        Ax_lo_new = jnp.zeros_like(Ax_new)
         xsq_new = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
         value_new, value_new_lo = _gram_value(gd, Ax_new, xsq_new, l2, adt)
     else:
         Ax_new = Axs[idx]
+        Ax_lo_new = Axs_lo[idx]
 
     # ||x_new - x|| = ||V s|| in d-space, closed via the rep of the delta
     delta = Rep(jnp.dot(s_c, lz.Vb), s_c @ lz.Vw, s_c @ lz.Vu)
@@ -237,7 +308,8 @@ def gram_krylov_step(
     better = pair_diff(value_new, value_new_lo,
                        state.f_best, state.f_best_lo) < 0
     return GramKrylovState(
-        gamma=gamma_new, zeta=zeta_new, Ax=Ax_new,
+        gamma=gamma_new, zeta=zeta_new, Ax=Ax_new, Ax_lo=Ax_lo_new,
+        w_g=w_new, uK=uK,
         value=value_new, value_lo=value_new_lo,
         reg_coef=reg_clamp(regs[idx], cdt).astype(cdt),
         r0=lams[idx].astype(cdt),
@@ -253,7 +325,7 @@ def gram_krylov_step(
     jax.jit,
     static_argnames=("chunk", "m", "l2", "beta", "solver_eps",
                      "solver_it_max", "ls_max", "reorth_passes",
-                     "accum_dtype", "rederive"),
+                     "accum_dtype", "rederive", "use_lr"),
 )
 def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
                           chunk: int = 16, **kw):
@@ -267,6 +339,17 @@ def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
                      st2.diff_norm, st2.solver_it)
 
     return jax.lax.scan(body, state, None, length=chunk)
+
+
+def _dev_like(arr, like):
+    """Device-put a host array with the sharding of an existing array
+    (mesh runs: reinjected state must not silently drop its sharding)."""
+    a = jnp.asarray(arr)
+    try:
+        sh = getattr(like, "sharding", None)
+        return jax.device_put(a, sh) if sh is not None else a
+    except Exception:
+        return a
 
 
 class RepMaterializer:
@@ -324,16 +407,23 @@ class GramKrylov(Optimizer):
         # stalls the final gap at ~1e-7 (measured), fp32 reaches ~1e-9
         self.fp32_tail_rtol = float(fp32_tail_rtol)
         self._gn_first = None
+        self._use_lr = True
         self.reg_coef = (self.loss.hessian_lipschitz if reg_coef is None
                          else float(reg_coef))
         self.gd: GramData | None = None
         self._x0_host = None
 
     def _maybe_enter_fp32_tail(self, grad_norm):
-        """Drop the low-precision Lanczos K once the tail begins."""
-        import dataclasses as _dc
+        """Switch Lanczos off the bf16 K once the tail begins.
 
-        if self.gd is None or self.gd.K_lr is None:
+        The baseline ``_gn_first`` is the FIRST recorded gradient norm
+        (iteration 1; run_fused seeds it from the first entry of the
+        first chunk's grad-norm stack). The round-2 version baselined at
+        the first chunk *boundary* (it=chunk, after the large early
+        drop), so the 1e3x-drop trigger was unreachable and the switch
+        never fired. The switch flips a static jit flag (`use_lr`), not
+        the gd pytree, so it costs one cached compile, not a rebuild."""
+        if not self._use_lr or self.gd is None or self.gd.K_lr is None:
             return
         if not np.isfinite(grad_norm):
             return
@@ -341,7 +431,7 @@ class GramKrylov(Optimizer):
             self._gn_first = grad_norm
             return
         if grad_norm < self.fp32_tail_rtol * self._gn_first:
-            self.gd = _dc.replace(self.gd, K_lr=None)
+            self._use_lr = False
 
     def init_state(self, x0, seed):
         loss = self.loss
@@ -353,6 +443,7 @@ class GramKrylov(Optimizer):
         x0h = np.asarray(x0, np.float64)
         self._x0_host = x0h
         self._gn_first = None
+        self._use_lr = True
         dtype = np.dtype(loss.b.dtype)
         if self._gd_preset is not None:
             gd = self._gd_preset
@@ -372,13 +463,34 @@ class GramKrylov(Optimizer):
         adt = _accum_dtype(cdt)
         zeta = jnp.zeros(npad, cdt)
         gamma = jnp.asarray(1.0, cdt)
+        # exact fp64 margins pair + initial gradient image (w_g, uK) on
+        # the host (three sparse SpMVs, one-time): seeds the incremental
+        # invariants exactly instead of with a device matvec's noise
+        from scipy.special import expit
+
+        n_real = A.shape[0]
+        m64 = A.dot(x0h)
+        b64 = np.asarray(loss.b, np.float64)[:n_real]
+        w64 = (expit(m64) - b64) / n_real  # zeta = 0: no l2 term yet
+        uK64 = A.dot(A.T.dot(w64))
         Ax = self.gd.Ax0
-        xsq = _x_sqnorm(self.gd, gamma, zeta, Ax, adt)
-        value, value_lo = _gram_value(self.gd, Ax, xsq, loss.l2, adt)
+        Ax_lo = np.zeros(npad, dtype)
+        Ax_lo[:n_real] = (m64 - np.asarray(Ax, np.float64)[:n_real]
+                          ).astype(dtype)
+        w0 = np.zeros(npad, dtype)
+        w0[:n_real] = w64.astype(dtype)
+        uK0 = np.zeros(npad, dtype)
+        uK0[:n_real] = uK64.astype(dtype)
+        Ax_lo = _dev_like(Ax_lo, Ax)
+        xsq = _x_sqnorm(self.gd, gamma, zeta, Ax, adt, Ax_lo=Ax_lo)
+        value, value_lo = _gram_value(self.gd, Ax, xsq, loss.l2, adt,
+                                      Ax_lo=Ax_lo)
         self.loss.reset()
         self.trace.solver_its = [0]
         return GramKrylovState(
-            gamma=gamma, zeta=zeta, Ax=Ax, value=value, value_lo=value_lo,
+            gamma=gamma, zeta=zeta, Ax=Ax, Ax_lo=Ax_lo,
+            w_g=_dev_like(w0, Ax), uK=_dev_like(uK0, Ax),
+            value=value, value_lo=value_lo,
             reg_coef=jnp.asarray(self.reg_coef, cdt),
             r0=jnp.asarray(0.1, cdt),
             solver_it=jnp.asarray(0, jnp.int32),
@@ -394,6 +506,7 @@ class GramKrylov(Optimizer):
             solver_eps=self.solver_eps, solver_it_max=self.solver_it_max,
             ls_max=self.ls_max, reorth_passes=self.reorth_passes,
             accum_dtype=_accum_dtype(self.state.zeta.dtype),
+            use_lr=self._use_lr,
         )
         self._maybe_enter_fp32_tail(float(self.state.grad_norm))
 
@@ -439,6 +552,8 @@ class GramKrylov(Optimizer):
         oracle's f_opt protocol) is likewise pinned to exact boundary
         values only: within-chunk device values carry ~1e-6 noise and
         must not define the empirical f*."""
+        from scipy.special import expit
+
         st = self.state
         A = self.loss.A_host
         n = A.shape[0]
@@ -452,16 +567,31 @@ class GramKrylov(Optimizer):
         if self.loss.l2:
             x = gamma * np.asarray(self._x0_host, np.float64) + t
             value64 += 0.5 * self.loss.l2 * float(x @ x)
+        # exact gradient image: resets the incremental (w_g, uK)
+        # invariant so in-chunk matvec drift never spans two chunks
+        w64 = (expit(margins) - self._b01_64) / n
+        if self.loss.l2:
+            w64 = w64 + self.loss.l2 * zeta
+        uK64 = A.dot(A.T.dot(w64))
         cdt = np.dtype(st.Ax.dtype)
-        m_dev = np.zeros(st.Ax.shape[0], cdt)
+        npad = st.Ax.shape[0]
+        m_dev = np.zeros(npad, cdt)
         m_dev[:n] = margins.astype(cdt)
+        m_lo = np.zeros(npad, cdt)
+        m_lo[:n] = (margins - m_dev[:n].astype(np.float64)).astype(cdt)
+        w_dev = np.zeros(npad, cdt)
+        w_dev[:n] = w64.astype(cdt)
+        uK_dev = np.zeros(npad, cdt)
+        uK_dev[:n] = uK64.astype(cdt)
         vhi = cdt.type(value64)
         vlo = cdt.type(value64 - float(vhi))
         self._f_best_exact = min(self._f_best_exact, value64)
         bhi = cdt.type(self._f_best_exact)
         blo = cdt.type(self._f_best_exact - float(bhi))
         self.state = st._replace(
-            Ax=jnp.asarray(m_dev), value=jnp.asarray(vhi),
+            Ax=_dev_like(m_dev, st.Ax), Ax_lo=_dev_like(m_lo, st.Ax),
+            w_g=_dev_like(w_dev, st.Ax), uK=_dev_like(uK_dev, st.Ax),
+            value=jnp.asarray(vhi),
             value_lo=jnp.asarray(vlo), f_best=jnp.asarray(bhi),
             f_best_lo=jnp.asarray(blo))
         return value64
@@ -515,14 +645,14 @@ class GramKrylov(Optimizer):
         t_prev = 0.0
         while self.it < it_max:
             k = int(min(chunk, it_max - self.it))
-            # with exact boundary correction, incremental margins are the
-            # accurate choice at every phase: the fp32-refreshed Vu keeps
-            # trial/committed errors correlated (differences exact to
-            # ~1e-10) and the correction kills inter-chunk drift. Without
-            # correction (no A_host / non-fp32), keep re-derivation.
-            rederive = not exact
+            # incremental pair margins are the accurate choice in every
+            # phase (see GramKrylovState): re-derivation would inject a
+            # fresh matvec rounding into the committed value each
+            # iteration; the exact boundary correction (fp32 runs)
+            # additionally zeroes inter-chunk drift.
             self.state, (vpairs, gns, dns, sits) = gram_krylov_multistep(
-                self.gd, self.state, chunk=k, rederive=rederive, **kw)
+                self.gd, self.state, chunk=k, rederive=False,
+                use_lr=self._use_lr, **kw)
             now = _time.perf_counter() - t_start
             vals = (np.asarray(vpairs[0], np.float64)
                     + np.asarray(vpairs[1], np.float64))
@@ -531,7 +661,9 @@ class GramKrylov(Optimizer):
             gns = np.asarray(gns, np.float64)
             metrics["grad_norm"].extend(gns[:k])
             metrics["diff_norm"].extend(dns[:k])
-            self._maybe_enter_fp32_tail(float(gns[k - 1]))
+            if self._gn_first is None and np.isfinite(gns[0]):
+                self._gn_first = float(gns[0])
+            self._maybe_enter_fp32_tail(float(np.min(gns[:k])))
             for j in range(k):
                 self.it += 1
                 self.trace.its.append(self.it)
