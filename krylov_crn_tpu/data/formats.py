@@ -6,9 +6,13 @@ length with zero-valued entries that target (row 0, col 0). A matvec is then
 
     y = segment_sum(vals * x[cols], rows, num_segments=n, indices_are_sorted)
 
-— one gather plus one sorted segment-sum, both of which run at HBM roofline
-on TPU. The transpose product uses an explicitly stored transpose (memory
-x2, as anticipated in SURVEY.md "hard parts" (b)): no scatter ever runs.
+— one gather plus one sorted segment-sum. On parts with gather/scatter
+engines (SparseCore) this runs at memory speed; the attached v5e executes
+both on the scalar unit (~0.14 G elem/s measured, PERF.md), which is why
+the dense Gram path (ops/gram.py) is the performant single-chip route and
+this format serves as the general/row-sharded fallback. The transpose
+product uses an explicitly stored transpose (memory x2, as anticipated in
+SURVEY.md "hard parts" (b)): no scatter ever runs.
 
 Replaces the reference's ``scipy.sparse`` CSR/CSC usage
 (/root/reference/optimizer/loss.py:266-302, cubic_newton.py:52-55) with a

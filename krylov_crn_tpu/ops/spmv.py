@@ -6,11 +6,14 @@ TPU-first replacements for the reference's scipy CSR/CSC products
     A @ x   = segment_sum(vals * x[cols], rows, n)        (gather + sorted seg-sum)
     A.T @ z = the same kernel on the explicitly-stored transpose
 
-Measured on TPU v5e (rcv1-like, 1.5M nnz): SpMV 44-48 Gnnz/s, fused HVP
-~70 Gnnz/s == ~570 GB/s of irreducible nnz traffic (~70% HBM roofline).
+Measured on the attached v5e (no SparseCore; driver-captured, BENCH_r02):
+fused HVP ~63 Mnnz/s — XLA executes arbitrary gathers/segment-sums on the
+scalar unit at ~0.14 G elem/s (PERF.md), so this path is structurally
+gather-bound on this chip and exists as the general/row-sharded fallback
+and as the correct target for SparseCore-bearing parts; the performant
+single-chip compute path is the dense Gram formulation (ops/gram.py).
 All sparse arrays MUST arrive as function arguments (pytree leaves) — XLA
-handles argument-fed gathers/scatters at roofline but collapses (~800x) when
-the same index arrays are embedded as jaxpr constants.
+constant-embedded index arrays compile pathologically (~800x slower).
 
 A dense MXU path is auto-selected when ``DualSparse.dense`` is present
 (small-d problems, mirroring the reference's dense/sparse switch at
