@@ -46,10 +46,17 @@ def build_parser():
                    help="shard rows over N devices (0 = single device)")
     p.add_argument("--no-bench-run", action="store_true",
                    help="skip the 5x-budget benchmark run used for f*")
-    p.add_argument("--fused", action="store_true",
-                   help="run Gram solvers chunk-fused on device "
-                        "(full-resolution loss trace, host sync only at "
-                        "chunk boundaries)")
+    import argparse as _ap
+
+    p.add_argument("--fused", action=_ap.BooleanOptionalAction,
+                   default=True,
+                   help="run Gram solvers chunk-fused on device: "
+                        "full-resolution loss trace, host sync + exact "
+                        "fp64 boundary corrections once per chunk. The "
+                        "default — the step-for-step run() path has no "
+                        "boundary corrections, so fp32 runs accumulate "
+                        "step-sized margin drift and cannot certify the "
+                        "1e-9 grid tolerances (--no-fused to compare)")
     p.add_argument("--solver", default="auto",
                    choices=["auto", "gram", "coo"],
                    help="compute path: gram = dense-K MXU formulation "

@@ -149,8 +149,18 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     Acsc = A.tocsc()
-    n, d = map(int, A.shape)
-    cb = min(_round_up(d, 512), col_block)
+    n, _ = map(int, A.shape)
+    # K = A A^T is invariant to dropping all-zero columns; compact them
+    # away so the panel count (and the MXU GEMM work, which is
+    # n_pad^2 * d_panels) scales with the number of *active* columns.
+    # Text-corpus matrices keep most of d active (real rcv1: ~47k) — the
+    # win is for matrices whose vocabulary underfills the feature space.
+    counts = np.diff(Acsc.indptr)
+    active = np.flatnonzero(counts)
+    if len(active) < Acsc.shape[1]:
+        Acsc = Acsc[:, active]
+    d = int(Acsc.shape[1])
+    cb = min(_round_up(max(d, 1), 512), col_block)
     nblk = -(-d // cb)
 
     if chunk_nnz is None:

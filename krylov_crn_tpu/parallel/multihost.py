@@ -68,6 +68,44 @@ def _allgather_host(x: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x))
 
 
+def global_label_coding(labels: np.ndarray,
+                        allgather=None) -> np.ndarray:
+    """Labels -> {0,1} with a value->bit coding agreed ACROSS processes.
+
+    canonicalize_labels' "any other pair -> first-seen label" rule
+    (data/libsvm.py; reference loss.py:190-207 semantics) is order-
+    dependent: two hosts whose byte ranges start with different classes
+    would encode labels oppositely — silent class inversion. This
+    gathers the distinct label values plus the globally-first label
+    (process 0's first row) and applies one shared coding: {0,1}/{1,2}/
+    {-1,1} by the standard maps, any other pair -> 1 for the global
+    first-seen label. ``allgather`` is injectable for testing."""
+    if allgather is None:
+        allgather = _allgather_host
+    labels = np.asarray(labels)
+    lu = np.unique(labels) if labels.size else np.empty(0)
+    pad = np.full(3, np.nan)
+    pad[: min(len(lu), 3)] = lu[:3]
+    first = float(labels[0]) if labels.size else np.nan
+    gath = np.atleast_2d(allgather(np.array([*pad, first], np.float64)))
+    vals_seen = gath[:, :3].ravel()
+    gl = np.unique(vals_seen[~np.isnan(vals_seen)])
+    if len(gl) > 2:
+        raise ValueError(
+            "The number of classes must be no more than 2 for binary "
+            f"classification (saw values {gl[:4]}...)")
+    firsts = gath[:, 3]
+    firsts = firsts[~np.isnan(firsts)]
+    first_global = float(firsts[0]) if firsts.size else 0.0
+    if np.array_equal(gl, [0, 1]):
+        return labels.astype(np.float64)
+    if np.array_equal(gl, [1, 2]):
+        return (labels - 1).astype(np.float64)
+    if np.array_equal(gl, [-1, 1]):
+        return ((labels + 1) / 2).astype(np.float64)
+    return (labels == first_global).astype(np.float64)
+
+
 def split_bytes_by_rows(path: str, num_parts: int,
                         part: int) -> tuple[int, int]:
     """Contiguous byte range [start, end) of `part`, snapped to line
@@ -128,7 +166,6 @@ def load_sharded_libsvm(path: str, mesh, dtype=np.float32,
     import scipy.sparse as sp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from krylov_crn_tpu.data.libsvm import canonicalize_labels
     from krylov_crn_tpu.parallel.mesh import DATA_AXIS
     from krylov_crn_tpu.parallel.sharded import ShardedDual, partition_rows
 
@@ -159,10 +196,7 @@ def load_sharded_libsvm(path: str, mesh, dtype=np.float32,
     d = int(d_raw)
     n_total = int(metas[:, 2].sum())
 
-    # labels to {0,1}: the canonicalization rules are global; each host
-    # applies them to its block assuming both classes appear everywhere
-    # (true for every LIBSVM binary dataset at realistic shard sizes)
-    b01 = canonicalize_labels(labels)
+    b01 = global_label_coding(labels)
 
     # ---- local CSR, nnz-balanced over this host's devices ----
     n_loc = labels.shape[0]

@@ -98,8 +98,18 @@ class Optimizer:
                           + float(getattr(self.state, "f_best_lo", 0.0)))
                 if f_best < self.loss.f_opt:
                     self.loss.f_opt = f_best
-                    self.loss.x_opt = getattr(self.state, "x", None)
+                    self.loss.x_opt = self.current_x()
         return self.trace
+
+    def current_x(self):
+        """The current iterate as an explicit vector (or None).
+
+        Solvers whose state carries a compact representation instead of
+        x (the Gram family: gamma/zeta) override this to materialize it,
+        so ``loss.x_opt`` — which the reference tracks as the argmin
+        iterate (loss.py:66-73) and plot_distances consumes
+        (opt_trace.py:74-94) — is populated on every solver path."""
+        return getattr(self.state, "x", None)
 
     def check_convergence(self):
         no_it_left = self.it >= self.it_max

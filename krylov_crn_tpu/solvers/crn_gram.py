@@ -210,7 +210,14 @@ def gram_crn_step(
         """Safeguarded 1-D Newton on phi(lam) = lam^2 - reg^2 ||s(lam)||^2
         with s(lam) = -(H + lam I)^{-1} g; two CG solves per iteration
         (one for s, one for the derivative term), like the reference's
-        func/fprime pair (cubic.py:157-171)."""
+        func/fprime pair (cubic.py:157-171).
+
+        PSD assumption: lam is clamped at 0 only (like the reference) —
+        no indefinite-H pole safeguard, because CG itself requires
+        H + lam I to be PD. Logistic Hessians are PSD, so this holds on
+        every oracle this solver is used with; for indefinite problems
+        use the eigh path (ops/subproblem.py:78-101), whose secular
+        Newton carries the pole safeguard."""
         lam = float(state.r0)
         it = 0
         while it < solver_it_max:

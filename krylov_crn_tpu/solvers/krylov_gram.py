@@ -690,6 +690,7 @@ class GramKrylov(Optimizer):
             f_best = float(self.state.f_best) + float(self.state.f_best_lo)
         if f_best < self.loss.f_opt:
             self.loss.f_opt = f_best
+            self.loss.x_opt = self.current_x()
         self.initialized = False
         self.finished_seeds.append(seed)
         return self.trace
@@ -705,6 +706,16 @@ class GramKrylov(Optimizer):
     def materialize(self, ck: GramCheckpoint):
         """x = gamma * x0 + A^T zeta (one transpose SpMV, on demand)."""
         return RepMaterializer(self._x0_host, self.loss)(ck)
+
+    def current_x(self):
+        """Materialized current iterate (for loss.x_opt tracking; the
+        state carries the rep, not x). Monotone line-search runs end at
+        their running-best iterate, so this is the argmin iterate in the
+        reference's sense (loss.py:66-73)."""
+        st = self.state
+        return np.asarray(self.materialize(GramCheckpoint(
+            gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
+            x_sqnorm=jnp.zeros((), st.Ax.dtype))))
 
     def compute_loss_of_iterates(self):
         """O(n) per checkpoint from stored margins — no SpMV re-eval pass

@@ -112,11 +112,17 @@ class Trace:
         self.its_converted_to_epochs = True
 
     def _xaxis(self, time, use_ls_its):
-        """Pick the x-axis: explicit ls_its > wall-clock > iterations."""
-        if use_ls_its and self.ls_its is not None:
-            print(f"[trace] {self.label}: plotting against the line-search "
+        """Pick the x-axis: solver-iteration axis > wall-clock > its.
+
+        ``ls_its`` mirrors the reference's cumulative line-search/solver
+        iteration axis (opt_trace.py:62-66); our solvers record the same
+        quantity as ``solver_its`` (cubic.py:230-235 semantics), which
+        serves as the axis when no explicit ls_its was set."""
+        axis = self.ls_its if self.ls_its is not None else self.solver_its
+        if use_ls_its and axis is not None and len(axis) == len(self.its):
+            print(f"[trace] {self.label}: plotting against the solver-"
                   f"iteration axis")
-            return self.ls_its
+            return axis
         return self.ts if time else self.its
 
     # ----------------------------- plotting -----------------------------

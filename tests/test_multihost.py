@@ -126,3 +126,36 @@ def test_sharded_krylov_from_libsvm_runs(libsvm_file):
     v0 = float(loss.value(np.asarray(x0)))
     v5 = float(alg.state.value) + float(alg.state.value_lo)
     assert v5 < v0 - 1e-3
+
+
+def test_global_label_coding_agrees_across_hosts():
+    """Labels {3,7} split so hosts see different first labels must not
+    invert classes (round-2 advisor finding: per-host first-seen coding
+    is order-dependent)."""
+    from krylov_crn_tpu.parallel.multihost import global_label_coding
+
+    host0 = np.array([3.0, 7.0, 3.0, 3.0])
+    host1 = np.array([7.0, 3.0, 7.0])  # starts with the other class
+
+    # gather both hosts' metas first (as jax's process_allgather would)
+    rows = []
+    for lab in (host0, host1):
+        lu = np.unique(lab)
+        pad = np.full(3, np.nan)
+        pad[: min(len(lu), 3)] = lu[:3]
+        rows.append(np.array([*pad, float(lab[0])]))
+    gathered = np.stack(rows)
+
+    b0 = global_label_coding(host0, allgather=lambda x: gathered)
+    b1 = global_label_coding(host1, allgather=lambda x: gathered)
+    # one consistent global coding: label 3 -> same bit on both hosts
+    assert set(np.unique(np.concatenate([b0, b1]))) == {0.0, 1.0}
+    assert b0[0] == b0[2] == b0[3] == b1[1]  # all the 3s agree
+    assert b1[0] == b1[2] == b0[1]  # all the 7s agree
+    assert b0[0] != b1[0]
+
+    # standard pairs keep the reference maps
+    g = lambda lab: global_label_coding(lab, allgather=lambda x: x[None])
+    np.testing.assert_array_equal(g(np.array([-1.0, 1.0])), [0.0, 1.0])
+    np.testing.assert_array_equal(g(np.array([1.0, 2.0])), [0.0, 1.0])
+    np.testing.assert_array_equal(g(np.array([0.0, 1.0])), [0.0, 1.0])
