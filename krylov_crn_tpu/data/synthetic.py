@@ -181,9 +181,9 @@ TOPIC_PARAMS = {
     "rcv1-like": dict(R=300, n_clusters=20, own_frac=0.6, pop_exp=1.1),
     # the wider feature space makes topics near-orthogonal; a flatter
     # topic popularity (clustered eigenvalues) keeps the Krylov tail
-    # fast like the real news20 (measured: pop_exp=1.1 stalls the
-    # reference at gap ~4e-6 @ it 64; 0.4 crosses 1e-8 at it ~9)
-    "news20-like": dict(R=300, n_clusters=20, own_frac=0.6, pop_exp=0.4),
+    # fast like the real news20 (measured, reference m=10: pop_exp=1.1
+    # stalls at gap ~4e-6 @ it 64; 0.7 crosses 1e-8 at it ~12)
+    "news20-like": dict(R=300, n_clusters=20, own_frac=0.6, pop_exp=0.7),
 }
 
 

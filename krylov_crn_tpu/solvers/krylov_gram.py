@@ -583,11 +583,14 @@ class GramKrylov(Optimizer):
         w_dev[:n] = w64.astype(cdt)
         uK_dev = np.zeros(npad, cdt)
         uK_dev[:n] = uK64.astype(cdt)
-        vhi = cdt.type(value64)
-        vlo = cdt.type(value64 - float(vhi))
+        # scalars keep the state's value dtype (fp32 pairs on TPU; fp64
+        # under x64 verification, where the step accumulates in fp64)
+        vdt = np.dtype(st.value.dtype)
+        vhi = vdt.type(value64)
+        vlo = vdt.type(value64 - float(vhi))
         self._f_best_exact = min(self._f_best_exact, value64)
-        bhi = cdt.type(self._f_best_exact)
-        blo = cdt.type(self._f_best_exact - float(bhi))
+        bhi = vdt.type(self._f_best_exact)
+        blo = vdt.type(self._f_best_exact - float(bhi))
         self.state = st._replace(
             Ax=_dev_like(m_dev, st.Ax), Ax_lo=_dev_like(m_lo, st.Ax),
             w_g=_dev_like(w_dev, st.Ax), uK=_dev_like(uK_dev, st.Ax),

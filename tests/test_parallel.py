@@ -148,3 +148,24 @@ def test_sscn_rejects_sharded_data_loudly(mesh):
     with pytest.raises(NotImplementedError, match="SSCN.*shard"):
         SSCN(loss=loss, reg_coef=1e-3, subspace_dim=8, tqdm=False,
              label="sscn")
+
+
+def test_one_psum_per_hvp(sparse_problem, mesh):
+    """Design invariant (SURVEY.md §2.2): a sharded fused HVP compiles to
+    exactly ONE all-reduce — the psum of the d-vector after the local
+    transpose-SpMV. Regression guard for the collective-traffic story in
+    artifacts/scaling/collectives.json."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from krylov_crn_tpu.ops.spmv import hvp_sparse
+    from krylov_crn_tpu.parallel.sharded import build_sharded_dual, pad_rowvec
+
+    A, b, x0 = sparse_problem
+    sd = build_sharded_dual(A, mesh)
+    w = pad_rowvec(np.abs(np.random.default_rng(0).standard_normal(A.shape[0])), sd)
+    v = jnp.ones((sd.d,), jnp.float32)
+    hlo = jax.jit(lambda w, v: hvp_sparse(sd, w, v)).lower(w, v).compile().as_text()
+    assert len(re.findall(r" all-reduce\(", hlo)) == 1

@@ -1,0 +1,162 @@
+"""Scaling evidence without multi-chip hardware (BASELINE.md:29).
+
+Counts the collective operations and bytes per solver step from the
+*compiled* programs on an 8-virtual-device CPU mesh (GSPMD inserts the
+same collectives it would on a pod — the fake mesh is the standard JAX
+idiom for this), measures per-device local HBM traffic analytically from
+the array shapes, and projects multi-host scaling efficiency from the
+single-chip rates captured in BENCH_r0*.json.
+
+Run:  python tools/scaling_evidence.py         (writes artifacts/scaling/)
+The pytest twin of the psum-count assertion lives in
+tests/test_parallel.py::test_one_psum_per_hvp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def collective_stats(hlo_text: str):
+    """Count collectives and their payload bytes in optimized HLO."""
+    stats = {}
+    # e.g.  %all-reduce.1 = f32[47240]{0} all-reduce(...)
+    pat = re.compile(
+        r"= (\w+\[[0-9,]*\][^ ]*) (all-reduce|all-gather|"
+        r"reduce-scatter|collective-permute|all-to-all)\(")
+    dt_bytes = {"f32": 4, "bf16": 2, "f64": 8, "s32": 4, "u32": 4,
+                "pred": 1, "f16": 2, "s64": 8}
+    for shape, op in pat.findall(hlo_text):
+        m = re.match(r"(\w+?)\[([0-9,]*)\]", shape)
+        dt, dims = m.group(1), m.group(2)
+        elems = 1
+        for d in dims.split(","):
+            if d:
+                elems *= int(d)
+        b = elems * dt_bytes.get(dt, 4)
+        ent = stats.setdefault(op, {"count": 0, "bytes": 0})
+        ent["count"] += 1
+        ent["bytes"] += b
+    return stats
+
+
+def coo_path():
+    """Sharded-COO fused HVP: expect exactly ONE all-reduce (psum) of the
+    d-vector per HVP — the design invariant of SURVEY.md §2.2."""
+    from jax.sharding import Mesh
+
+    from krylov_crn_tpu.data.synthetic import synthetic_logreg
+    from krylov_crn_tpu.ops.spmv import hvp_sparse
+    from krylov_crn_tpu.parallel.mesh import DATA_AXIS
+    from krylov_crn_tpu.parallel.sharded import (
+        build_sharded_dual,
+        pad_rowvec,
+    )
+
+    A, b = synthetic_logreg((512, 640, 4096), seed=5)
+    mesh = Mesh(np.array(jax.devices()[:8]), (DATA_AXIS,))
+    sd = build_sharded_dual(A, mesh)
+    w = pad_rowvec(np.abs(np.random.default_rng(0).standard_normal(512)),
+                   sd)
+    v = jnp.ones((sd.d,), jnp.float32)
+
+    fn = jax.jit(lambda w, v: hvp_sparse(sd, w, v))
+    hlo = fn.lower(w, v).compile().as_text()
+    st = collective_stats(hlo)
+    d_bytes = sd.d * 4
+    return {
+        "program": "sharded_hvp (COO fallback path)",
+        "collectives": st,
+        "d_vector_bytes": d_bytes,
+        "one_psum_per_hvp": st.get("all-reduce", {}).get("count") == 1,
+        "local_bytes_per_device": int(3 * (sd.a_vals.shape[0] // 8) * 4 * 2),
+    }
+
+
+def gram_path(n=2048, m=10):
+    """Row-sharded-K Gram step: collectives per full Krylov-CRN iteration
+    ((m+2) K-matvecs; GSPMD all-gathers each matvec's n/D-local output)."""
+    from jax.sharding import Mesh
+
+    from krylov_crn_tpu.models.logistic import LogisticRegression
+    from krylov_crn_tpu.parallel.mesh import DATA_AXIS
+    from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
+    from krylov_crn_tpu.solvers.krylov_gram import (
+        GramKrylov,
+        gram_krylov_step,
+    )
+    from krylov_crn_tpu.data.synthetic import synthetic_logreg
+
+    A, b = synthetic_logreg((n, 2 * n, 16 * n), seed=7)
+    mesh = Mesh(np.array(jax.devices()[:8]), (DATA_AXIS,))
+    loss = LogisticRegression(A, b, dtype=np.float32, want_dense=False)
+    alg = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=m, tolerance=0,
+                     tqdm=False, label="mesh", mesh=mesh)
+    st0 = alg.init_state(jnp.ones(A.shape[1], jnp.float32) * 0.5, 0)
+    kw = dict(m=m, l2=0.0, beta=0.5, solver_eps=1e-8, solver_it_max=100,
+              ls_max=20, reorth_passes=1,
+              accum_dtype=_accum_dtype(jnp.float32), rederive=False,
+              use_lr=False)
+    lowered = gram_krylov_step.lower(alg.gd, st0, **kw)
+    hlo = lowered.compile().as_text()
+    stc = collective_stats(hlo)
+    npad = alg.gd.n_padded
+    return {
+        "program": f"gram_krylov_step (row-sharded K, n_pad={npad}, m={m})",
+        "collectives": stc,
+        "local_K_bytes_per_device_per_matvec": npad * npad * 4 // 8,
+        "matvecs_per_iteration": m + 2,
+    }
+
+
+def projection(coo, gram):
+    """Analytic 2-host scaling projection from measured single-chip rates.
+
+    Rates: dense K-matvec 702 GB/s HBM (PERF.md measured); ICI ~45 GB/s
+    per direction (v5e), DCN ~25 GB/s per host (public TPU v5e specs).
+    Efficiency = T_local / (T_local + T_collective) per matvec, with the
+    all-gather riding ICI within a slice and DCN across hosts.
+    """
+    n = 20480  # rcv1/news20-shaped rows
+    hbm = 702e9
+    for D, link_bw, link in ((8, 45e9, "ici"), (16, 25e9, "dcn-2hosts")):
+        t_local = (n * n * 4 / D) / hbm
+        t_coll = (n * 4) / link_bw + 20e-6  # payload + latency floor
+        eff = t_local / (t_local + t_coll)
+        yield {
+            "devices": D,
+            "link": link,
+            "t_local_us": round(t_local * 1e6, 1),
+            "t_collective_us": round(t_coll * 1e6, 1),
+            "gram_matvec_efficiency": round(eff, 3),
+        }
+
+
+def main():
+    out = {
+        "coo": coo_path(),
+        "gram": gram_path(),
+    }
+    out["projection"] = list(projection(out["coo"], out["gram"]))
+    os.makedirs("artifacts/scaling", exist_ok=True)
+    with open("artifacts/scaling/collectives.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
