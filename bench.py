@@ -39,7 +39,7 @@ import numpy as np
 
 M = 10
 GAP = 1e-8
-CHUNK = 8  # iterations per device dispatch; exact fp64 correction cadence
+CHUNK = 16  # iterations per device dispatch; exact fp64 correction cadence
 OUR_IT_MAX = 64  # fp32 Gram m=10 crosses 1e-8 at it ~24-32 (measured r3)
 FSTAR_IT = 192  # m=20 benchmark run for the empirical f*
 REF_IT_MAX = 50  # reference crosses at it ~28-32 (cubic_newton.sh uses 50)
@@ -102,6 +102,16 @@ def bench_ours(A, b, x0):
         st, _ = gram_krylov_multistep(alg.gd, alg.state, chunk=CHUNK,
                                       use_lr=lr, **kw)
         float(st.value)
+    # the correction-apply and checkpoint programs also compile on first
+    # use — keep those one-time compiles out of the timed race
+    from krylov_crn_tpu.solvers.krylov_gram import (
+        _apply_correction,
+        _checkpoint_of,
+    )
+
+    npad = alg.gd.n_padded
+    _apply_correction(alg.state, jnp.zeros(4 * npad + 4, dtype), npad)
+    _checkpoint_of(alg.gd, alg.state, _accum_dtype(jnp.dtype(dtype)))
 
     trace = alg.run_fused(x0, it_max=OUR_IT_MAX, chunk=CHUNK)
     ex_its = list(trace.metrics["exact_its"])
@@ -236,6 +246,12 @@ def coo_hvp_nnz_per_s(name="rcv1-like"):
 
 
 def main():
+    # absorb the one-time PJRT/tunnel client initialization (~12 s
+    # measured through the relay) before any timed region: it is session
+    # overhead of the transport, not part of any algorithm's cost
+    import jax.numpy as jnp
+
+    float(jnp.zeros(8)[0])
     res_news = race("news20-like")
     res_rcv1 = race("rcv1-like")
     gbps, frac = kmatvec_roofline()

@@ -123,6 +123,36 @@ def _scan_build_K(K, B, R, C, V, F, prec):
     return K, B
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("prec", "cb"))
+def _scan_build_K_panels(K, R, C, V, prec, cb):
+    """Two-level build scan: inner scatter-only scan over each panel's
+    uniform nnz chunks, then ONE GEMM per panel.
+
+    The round-2 single-level design GEMM'd (masked) at EVERY chunk, so a
+    dataset whose panels split into ~3 chunks each paid ~3x the GEMM
+    flops (news20-like: 67 chunk-GEMMs for 22 panels ~= 3.7 s of pure
+    surplus MXU time). Here the GEMM count equals the panel count
+    regardless of chunking. Chunks are padded to a uniform per-panel
+    count (zero-valued entries scatter into row 0 / local col 0)."""
+
+    def panel(K, arrs):
+        r, c, v = arrs  # (inner, chunk_nnz) each
+
+        def scat(B, triple):
+            rr, cc, vv = triple
+            return B.at[rr, cc.astype(jnp.int32)].add(vv), ()
+
+        B0 = jnp.zeros((K.shape[0], cb), K.dtype)
+        B, _ = jax.lax.scan(scat, B0, (r, c, v))
+        G = jax.lax.dot_general(B, B, (((1,), (1,)), ((), ())),
+                                precision=prec)
+        return K + G, ()
+
+    K, _ = jax.lax.scan(panel, K, (R, C, V))
+    return K
+
+
 def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
                     precision=None, chunk_nnz: int | None = None):
     """K = A A^T computed on-device as ONE XLA program.
@@ -163,13 +193,49 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     cb = min(_round_up(max(d, 1), 512), col_block)
     nblk = -(-d // cb)
 
-    if chunk_nnz is None:
-        mean_panel = max(int(Acsc.nnz) // nblk, 1)
-        chunk_nnz = 8192
-        while chunk_nnz < mean_panel and chunk_nnz < 131072:
-            chunk_nnz *= 2
+    panel_nnz = np.asarray(
+        [int(Acsc.indptr[min((i + 1) * cb, d)] - Acsc.indptr[i * cb])
+         for i in range(nblk)], np.int64)
+    max_panel = int(panel_nnz.max()) if nblk else 1
 
-    # host prep: per-panel COO triples cut into uniform padded chunks
+    if chunk_nnz is None:
+        chunk_nnz = 8192
+        while chunk_nnz * 4 < max_panel and chunk_nnz < 262144:
+            chunk_nnz *= 2
+    inner = max(1, -(-max_panel // chunk_nnz))
+
+    # one-GEMM-per-panel layout needs per-panel chunk padding to the
+    # uniform `inner`; under heavy column skew (one panel with most of
+    # the nnz) the padding waste explodes — fall back to the exact-size
+    # masked-GEMM stream there (waste factor = padded/actual nnz)
+    waste = nblk * inner * chunk_nnz / max(1, int(Acsc.nnz))
+    K = jnp.zeros((n_pad, n_pad), dtype)
+    if waste <= 2.0:
+        R = np.zeros((nblk, inner * chunk_nnz), np.int32)
+        C = np.zeros((nblk, inner * chunk_nnz), np.int16)
+        V = np.zeros((nblk, inner * chunk_nnz), dtype)
+        for i in range(nblk):
+            c0, c1 = i * cb, min((i + 1) * cb, d)
+            s, e = int(Acsc.indptr[c0]), int(Acsc.indptr[c1])
+            k = e - s
+            R[i, :k] = Acsc.indices[s:e]
+            counts = np.diff(Acsc.indptr[c0:c1 + 1])
+            C[i, :k] = np.repeat(np.arange(c1 - c0, dtype=np.int16),
+                                 counts)
+            V[i, :k] = Acsc.data[s:e].astype(dtype)
+        shape3 = (nblk, inner, chunk_nnz)
+        R, C, V = (R.reshape(shape3), C.reshape(shape3), V.reshape(shape3))
+        # bound device work per dispatch (~256 scatter chunks / ~15 s):
+        # longer single programs crash the TPU worker through the relay
+        seg_p = max(1, 256 // inner)
+        for s in range(0, nblk, seg_p):
+            e = min(s + seg_p, nblk)
+            K = _scan_build_K_panels(
+                K, jnp.asarray(R[s:e]), jnp.asarray(C[s:e]),
+                jnp.asarray(V[s:e]), prec=precision, cb=cb)
+        return K
+
+    # ---- masked-GEMM fallback (exact-size chunk stream) ----
     R_parts, C_parts, V_parts, flags = [], [], [], []
     for i in range(nblk):
         c0, c1 = i * cb, min((i + 1) * cb, d)
@@ -194,12 +260,6 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     V = np.concatenate(V_parts).reshape(-1, chunk_nnz)
     F = np.concatenate(flags)
 
-    # Bound each dispatch to ~256 chunks (~15 s of device work): a single
-    # program with minutes of device time crashes/restarts the TPU worker
-    # through the relayed transport (observed on news20-scale builds).
-    # B carries partially-scattered panels across segment boundaries. The
-    # last segment is padded with no-op chunks (zero values, flag off) so
-    # every dispatch reuses the one compiled (256-chunk) program.
     seg = 256
     nchunks = R.shape[0]
     pad_ch = (-nchunks) % seg if nchunks > seg else 0
@@ -210,7 +270,6 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
         F = np.concatenate([F, np.zeros(pad_ch, bool)])
         nchunks += pad_ch
 
-    K = jnp.zeros((n_pad, n_pad), dtype)
     B = jnp.zeros((n_pad, cb), dtype)
     for s in range(0, nchunks, seg):
         e = min(s + seg, nchunks)

@@ -341,6 +341,28 @@ def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
     return jax.lax.scan(body, state, None, length=chunk)
 
 
+@functools.partial(jax.jit, static_argnames=("npad",))
+def _apply_correction(state: GramKrylovState, buf: jax.Array, npad: int):
+    """Unpack one host-corrected buffer [margins; lo; w_g; uK; 4 scalars]
+    into the state — a single device transfer + a single dispatch."""
+    m, m_lo, w, uK = (buf[:npad], buf[npad:2 * npad],
+                      buf[2 * npad:3 * npad], buf[3 * npad:4 * npad])
+    s = buf[4 * npad:]
+    return state._replace(Ax=m, Ax_lo=m_lo, w_g=w, uK=uK,
+                          value=s[0], value_lo=s[1],
+                          f_best=s[2], f_best_lo=s[3])
+
+
+@functools.partial(jax.jit, static_argnames=("adt",))
+def _checkpoint_of(gd: GramData, state: GramKrylovState, adt):
+    """Chunk-boundary checkpoint pieces in ONE dispatch (the eager
+    op-by-op x_sqnorm was a dispatch per op through the relay)."""
+    xsq = _x_sqnorm(gd, state.gamma, state.zeta, state.Ax, adt,
+                    Ax_lo=state.Ax_lo)
+    return GramCheckpoint(gamma=state.gamma, zeta=state.zeta,
+                          Ax=state.Ax, x_sqnorm=xsq)
+
+
 def _dev_like(arr, like):
     """Device-put a host array with the sharding of an existing array
     (mesh runs: reinjected state must not silently drop its sharding)."""
@@ -482,9 +504,17 @@ class GramKrylov(Optimizer):
         uK0 = np.zeros(npad, dtype)
         uK0[:n_real] = uK64.astype(dtype)
         Ax_lo = _dev_like(Ax_lo, Ax)
-        xsq = _x_sqnorm(self.gd, gamma, zeta, Ax, adt, Ax_lo=Ax_lo)
-        value, value_lo = _gram_value(self.gd, Ax, xsq, loss.l2, adt,
-                                      Ax_lo=Ax_lo)
+        # initial f exactly in host fp64 (the margins m64 are already
+        # exact): no eager device reductions at init — each eager op is
+        # a compile + a relay dispatch
+        ls = np.where(m64 < 0, m64 - np.log1p(np.exp(m64)),
+                      -np.log1p(np.exp(-m64)))
+        value64 = float(np.mean((1.0 - b64) * m64 - ls))
+        if loss.l2:
+            value64 += 0.5 * loss.l2 * float(x0h @ x0h)
+        vdt = np.dtype(adt)
+        value = jnp.asarray(vdt.type(value64))
+        value_lo = jnp.asarray(vdt.type(value64 - float(vdt.type(value64))))
         self.loss.reset()
         self.trace.solver_its = [0]
         return GramKrylovState(
@@ -537,7 +567,7 @@ class GramKrylov(Optimizer):
         # converter is picklable and survives Trace.save/from_pickle
         self.trace.materializer = RepMaterializer(self._x0_host, self.loss)
 
-    def _exact_correct(self):
+    def _exact_correct(self, gamma_h=None, zeta_h=None):
         """Exact fp64 margins/value on host, reinjected into device state.
 
         The incremental fp32 margin updates drift by one rounding per
@@ -557,8 +587,11 @@ class GramKrylov(Optimizer):
         st = self.state
         A = self.loss.A_host
         n = A.shape[0]
-        gamma = float(st.gamma)
-        zeta = np.asarray(st.zeta, np.float64)[:n]
+        # callers that already hold host copies pass them in — every
+        # separate device fetch costs a ~40 ms relay round trip
+        gamma = float(st.gamma) if gamma_h is None else float(gamma_h)
+        zeta = np.asarray(st.zeta if zeta_h is None else zeta_h,
+                          np.float64)[:n]
         t = A.T.dot(zeta)  # = A^T zeta, the rep's d-vector (exact fp64)
         margins = gamma * self._Ax0_64 + A.dot(t)
         ls = np.where(margins < 0, margins - np.log1p(np.exp(margins)),
@@ -591,12 +624,20 @@ class GramKrylov(Optimizer):
         self._f_best_exact = min(self._f_best_exact, value64)
         bhi = vdt.type(self._f_best_exact)
         blo = vdt.type(self._f_best_exact - float(bhi))
-        self.state = st._replace(
-            Ax=_dev_like(m_dev, st.Ax), Ax_lo=_dev_like(m_lo, st.Ax),
-            w_g=_dev_like(w_dev, st.Ax), uK=_dev_like(uK_dev, st.Ax),
-            value=jnp.asarray(vhi),
-            value_lo=jnp.asarray(vlo), f_best=jnp.asarray(bhi),
-            f_best_lo=jnp.asarray(blo))
+        # ONE packed device transfer + one jitted unpack: separate
+        # device_puts cost ~30-80 ms each through the relay (measured)
+        buf = np.concatenate([m_dev, m_lo, w_dev, uK_dev,
+                              np.array([vhi, vlo, bhi, blo], cdt)])
+        buf_d = _dev_like(buf, st.Ax)
+        self.state = _apply_correction(st, buf_d, npad)
+        if np.dtype(st.value.dtype) != cdt:
+            # x64 verification path: value scalars live in the accum
+            # dtype — restore it (the packed buffer carries cdt)
+            self.state = self.state._replace(
+                value=self.state.value.astype(st.value.dtype),
+                value_lo=self.state.value_lo.astype(st.value.dtype),
+                f_best=self.state.f_best.astype(st.value.dtype),
+                f_best_lo=self.state.f_best_lo.astype(st.value.dtype))
         return value64
 
     def run_fused(self, x0, it_max, t_max=np.inf, chunk=16, seed=42,
@@ -636,8 +677,8 @@ class GramKrylov(Optimizer):
             ls_max=self.ls_max, reorth_passes=self.reorth_passes,
             accum_dtype=_accum_dtype(cdt),
         )
-        self.trace.loss_vals = [float(self.state.value)
-                                + float(self.state.value_lo)]
+        v0h, v0l = jax.device_get((self.state.value, self.state.value_lo))
+        self.trace.loss_vals = [float(v0h) + float(v0l)]
         metrics = self.trace.metrics
         metrics.setdefault("grad_norm", [])
         metrics.setdefault("diff_norm", [])
@@ -656,12 +697,19 @@ class GramKrylov(Optimizer):
             self.state, (vpairs, gns, dns, sits) = gram_krylov_multistep(
                 self.gd, self.state, chunk=k, rederive=False,
                 use_lr=self._use_lr, **kw)
+            # ONE bundled host fetch per chunk: every separate fetch is a
+            # ~40 ms relay round trip (measured — five fetches plus the
+            # correction's two cost ~0.3 s/chunk, dominating small runs)
+            fetch = (vpairs[0], vpairs[1], gns, dns, sits)
+            if exact:
+                fetch += (self.state.gamma, self.state.zeta)
+            got = jax.device_get(fetch)
             now = _time.perf_counter() - t_start
-            vals = (np.asarray(vpairs[0], np.float64)
-                    + np.asarray(vpairs[1], np.float64))
-            dns = np.asarray(dns, np.float64)
-            # device-side metric buffers, host-synced once per chunk
-            gns = np.asarray(gns, np.float64)
+            vals = (np.asarray(got[0], np.float64)
+                    + np.asarray(got[1], np.float64))
+            gns = np.asarray(got[2], np.float64)
+            dns = np.asarray(got[3], np.float64)
+            sits = got[4]
             metrics["grad_norm"].extend(gns[:k])
             metrics["diff_norm"].extend(dns[:k])
             if self._gn_first is None and np.isfinite(gns[0]):
@@ -674,7 +722,8 @@ class GramKrylov(Optimizer):
                 self.trace.loss_vals.append(float(vals[j]))
                 self.trace.solver_its.append(int(sits[j]))
             if exact:
-                value64 = self._exact_correct()
+                value64 = self._exact_correct(gamma_h=got[5],
+                                              zeta_h=got[6])
                 self.trace.loss_vals[-1] = value64
                 metrics["exact_its"].append(self.it)
                 metrics["exact_fs"].append(value64)
@@ -699,12 +748,8 @@ class GramKrylov(Optimizer):
         return self.trace
 
     def update_trace_checkpoint_only(self):
-        st = self.state
-        adt = _accum_dtype(st.zeta.dtype)
-        self.trace.xs.append(GramCheckpoint(
-            gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
-            x_sqnorm=_x_sqnorm(self.gd, st.gamma, st.zeta, st.Ax, adt),
-        ))
+        adt = _accum_dtype(self.state.zeta.dtype)
+        self.trace.xs.append(_checkpoint_of(self.gd, self.state, adt))
 
     def materialize(self, ck: GramCheckpoint):
         """x = gamma * x0 + A^T zeta (one transpose SpMV, on demand)."""
