@@ -648,12 +648,15 @@ class GramKrylov(Optimizer):
         optimizer.py:136-145); wall-times are interpolated within chunks.
 
         ``exact_correction`` (fp32 runs with a host scipy matrix): at
-        every chunk boundary the margins and f are recomputed exactly in
-        fp64 on the host and reinjected (see _exact_correct). Boundary
-        entries of the loss trace are then exact; the full-resolution
-        entries in between are device fp32 readings (~1e-6 noise) —
-        consumers chasing 1e-8 gaps should use metrics["exact_its"] /
-        metrics["exact_fs"]."""
+        every chunk boundary the margins, gradient image and f are
+        recomputed exactly in fp64 on the host and reinjected (see
+        _exact_correct). Boundary entries of the loss trace are then
+        exact; the full-resolution entries in between are device fp32
+        readings (~1e-6 noise) — consumers chasing 1e-8 gaps should use
+        metrics["exact_its"] / metrics["exact_fs"]. The correction's
+        wall cost stays INSIDE the timed trace deliberately: it drives
+        the committed state (drift reset), so it is part of the
+        algorithm, not instrumentation."""
         import time as _time
 
         self.t_max = t_max
