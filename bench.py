@@ -110,7 +110,7 @@ def bench_ours(A, b, x0):
     )
 
     npad = alg.gd.n_padded
-    _apply_correction(alg.state, jnp.zeros(4 * npad + 4, dtype), npad)
+    _apply_correction(alg.state, jnp.zeros(5 * npad, dtype), npad)
     _checkpoint_of(alg.gd, alg.state, _accum_dtype(jnp.dtype(dtype)))
 
     trace = alg.run_fused(x0, it_max=OUR_IT_MAX, chunk=CHUNK)

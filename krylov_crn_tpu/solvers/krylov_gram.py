@@ -343,11 +343,11 @@ def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
 
 @functools.partial(jax.jit, static_argnames=("npad",))
 def _apply_correction(state: GramKrylovState, buf: jax.Array, npad: int):
-    """Unpack one host-corrected buffer [margins; lo; w_g; uK; 4 scalars]
-    into the state — a single device transfer + a single dispatch."""
+    """Unpack one host-corrected buffer [margins; lo; w_g; uK; scalars,
+    padded to 5*npad] into the state — one transfer + one dispatch."""
     m, m_lo, w, uK = (buf[:npad], buf[npad:2 * npad],
                       buf[2 * npad:3 * npad], buf[3 * npad:4 * npad])
-    s = buf[4 * npad:]
+    s = buf[4 * npad:4 * npad + 4]
     return state._replace(Ax=m, Ax_lo=m_lo, w_g=w, uK=uK,
                           value=s[0], value_lo=s[1],
                           f_best=s[2], f_best_lo=s[3])
@@ -567,6 +567,17 @@ class GramKrylov(Optimizer):
         # converter is picklable and survives Trace.save/from_pickle
         self.trace.materializer = RepMaterializer(self._x0_host, self.loss)
 
+    def _ensure_exact_setup(self):
+        """Lazy init of the host fp64 constants _exact_correct needs, so
+        step-by-step runs (not only run_fused) can use corrections."""
+        if getattr(self, "_Ax0_64", None) is None:
+            A = self.loss.A_host
+            n = A.shape[0]
+            self._Ax0_64 = A.dot(np.asarray(self._x0_host, np.float64))
+            self._b01_64 = np.asarray(self.loss.b, np.float64)[:n]
+            self._f_best_exact = (float(self.state.value)
+                                  + float(self.state.value_lo))
+
     def _exact_correct(self, gamma_h=None, zeta_h=None):
         """Exact fp64 margins/value on host, reinjected into device state.
 
@@ -584,6 +595,7 @@ class GramKrylov(Optimizer):
         must not define the empirical f*."""
         from scipy.special import expit
 
+        self._ensure_exact_setup()
         st = self.state
         A = self.loss.A_host
         n = A.shape[0]
@@ -625,9 +637,11 @@ class GramKrylov(Optimizer):
         bhi = vdt.type(self._f_best_exact)
         blo = vdt.type(self._f_best_exact - float(bhi))
         # ONE packed device transfer + one jitted unpack: separate
-        # device_puts cost ~30-80 ms each through the relay (measured)
-        buf = np.concatenate([m_dev, m_lo, w_dev, uK_dev,
-                              np.array([vhi, vlo, bhi, blo], cdt)])
+        # device_puts cost ~30-80 ms each through the relay (measured).
+        # Padded to 5*npad so a row-sharded placement stays divisible.
+        buf = np.zeros(5 * npad, cdt)
+        buf[:4 * npad] = np.concatenate([m_dev, m_lo, w_dev, uK_dev])
+        buf[4 * npad:4 * npad + 4] = (vhi, vlo, bhi, blo)
         buf_d = _dev_like(buf, st.Ax)
         self.state = _apply_correction(st, buf_d, npad)
         if np.dtype(st.value.dtype) != cdt:

@@ -162,6 +162,21 @@ def run_reference(A, b, x0, it_max, sscn_dims):
         numba.njit = lambda f=None, **kw: (f if callable(f)
                                            else (lambda g: g))
         sys.modules["numba"] = numba
+    # environment-compat shim: the reference pins scipy 1.11-era
+    # `cg(..., tol=)` (requirements.txt), removed in the scipy shipped
+    # here — forward tol to rtol so its CRN-CG leg runs unmodified
+    import scipy.sparse.linalg as _spla
+
+    if not getattr(_spla.cg, "_tol_compat", False):
+        _orig_cg = _spla.cg
+
+        def _cg_compat(A, b, *args, tol=None, **kw):
+            if tol is not None:
+                kw.setdefault("rtol", tol)
+            return _orig_cg(A, b, *args, **kw)
+
+        _cg_compat._tol_compat = True
+        _spla.cg = _cg_compat
     sys.path.insert(0, "/root/reference")
     from optimizer.cubic import SSCN as RefSSCN
     from optimizer.cubic import Cubic_Krylov_LS, Cubic_LS
