@@ -301,6 +301,16 @@ def main():
     p.add_argument("--out", default="artifacts/figure2")
     args = p.parse_args()
 
+    if args.leg == "cpu-fp64":
+        # env vars are too late on this stack (sitecustomize registers
+        # the TPU PJRT plugin at interpreter startup): pin via config
+        # before any computation, else the fp64 leg lands on the TPU
+        # and a fp64 K build OOMs the 16 GB HBM (observed)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
     os.makedirs(args.out, exist_ok=True)
     names = list(GRID) if args.dataset == "all" else [args.dataset]
     for name in names:
