@@ -207,7 +207,7 @@ def synthetic_meta(name_or_shape, profile=None):
 
 def synthetic_logreg(name_or_shape, seed=0, dtype=np.float32, profile=None,
                      conflict_frac=0.02, row_normalize=True,
-                     flip_frac=0.005):
+                     flip_frac=0.005, topic_params=None):
     """(A_csr, b) binary logistic problem; labels in {-1, +1} like LIBSVM.
 
     ``conflict_frac``: fraction of rows copied onto another row with the
@@ -245,8 +245,13 @@ def synthetic_logreg(name_or_shape, seed=0, dtype=np.float32, profile=None,
     row_cl = None
     topic = profile == "topic"
     if topic:
-        A, row_cl = topic_sparse(n, d, nnz, seed=seed, dtype=dtype,
-                                 **TOPIC_PARAMS.get(name, {}))
+        # NOTE: for an *attained* optimum the conflict twins must span
+        # the rank-R row space: conflict_frac * n / 2 > R (see
+        # topic_sparse). The named datasets satisfy this; explicit
+        # shapes should pass topic_params with a suitable R.
+        tp = (TOPIC_PARAMS.get(name, {}) if topic_params is None
+              else topic_params)
+        A, row_cl = topic_sparse(n, d, nnz, seed=seed, dtype=dtype, **tp)
     elif profile == "clustered":
         A, row_cl = clustered_sparse(n, d, nnz, seed=seed, dtype=dtype)
     else:

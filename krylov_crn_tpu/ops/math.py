@@ -130,15 +130,19 @@ def pair_diff(ahi, alo, bhi, blo):
 def reg_clamp(reg, cdt):
     """Ceiling for the committed cubic regularization coefficient.
 
-    When every line-search trial is rejected (possible only at the exact
+    When every line-search trial is rejected (possible only at the
     numerical optimum, where trial values tie or sit one rounding above
     f), the reference commits the last trial and its reg doubles per
-    iteration without bound (cubic.py:294-303 has no cap — its runs stop
-    on tolerance first). A fixed-iteration device run (lax.scan chunks,
-    tolerance=0 benches) must survive this: cap at finfo^(1/4) so reg^2
-    inside the secular equation stays finite in the working dtype."""
-    return jnp.minimum(reg, jnp.asarray(float(jnp.finfo(cdt).max) ** 0.25,
-                                        reg.dtype))
+    trial without bound (cubic.py:294-303 has no cap — its runs stop on
+    tolerance first). A fixed-iteration device run must survive this.
+    The ceiling is 1e6: the legitimate scale of reg is the Hessian
+    Lipschitz constant (<~1 for unit-row logistic; line searches push a
+    few orders beyond during hard steps), so 1e6 is ample headroom —
+    while recovery from an inflated reg costs log2(reg/M) iterations at
+    the optimistic x0.5/iteration decrease, so a runaway to fp32-max^0.25
+    (~4e9, the round-2 ceiling) freezes a run for ~30+ iterations
+    (measured: the n=4k fp32 stall)."""
+    return jnp.minimum(reg, jnp.asarray(1e6, reg.dtype))
 
 
 def ls_accept(vhi, vlo, fhi, flo, model_dec):

@@ -101,15 +101,32 @@ def _gram_value(gd: GramData, Ax, x_sqnorm, l2, adt, Ax_lo=None):
     by 1/n *before* the reduction: each term's rounding error then enters
     at eps*|term|/n and the compensated sum keeps the total near eps^2.
 
-    ``Ax_lo``: optional margin-pair lo part. The per-term loss
-    phi(m) = (1-b)m - logsig(m) is evaluated at the hi margins and
-    corrected to first order, phi(hi+lo) ~= phi(hi) + (sigmoid(hi)-b)*lo
-    (|lo| <= eps|m|, so the second-order term is ~eps^2 — negligible)."""
-    terms = ((1.0 - gd.b) * Ax - logsig(Ax)) * (gd.mask / gd.n)
-    hi, lo = accum_sum_pair(terms.astype(adt), adt)
+    ``Ax_lo``: optional margin-pair lo part, enabling the high-accuracy
+    split evaluation. phi(m) = (1-b)m - logsig(m) has a margin-LINEAR
+    part whose per-term fp32 rounding scales with |m| — once iterates
+    grow (|m| ~ 30+), evaluating phi directly costs ~eps*|m|/sqrt(n)
+    absolute error (measured ~2.4e-9 at n=4k — enough to bias accept
+    tests near the floor). Split: the linear part (1-b)*m sums as a
+    compensated pair-dot against the margin PAIR (error ~eps^2-grade);
+    the nonlinear remainder -logsig(m) is bounded by log 2 per term, so
+    its fp32 rounding is ~eps*0.7/n per term. First-order lo correction
+    on the nonlinear part only: d(-logsig)/dm = sigmoid(m) - 1."""
+    scale = gd.mask / gd.n
     if Ax_lo is not None:
-        corr = (jax.nn.sigmoid(Ax) - gd.b) * (gd.mask / gd.n) * Ax_lo
+        from krylov_crn_tpu.ops.math import dot2
+
+        p = ((1.0 - gd.b) * scale).astype(adt)
+        hi, lo = dot2(p, Ax.astype(adt))
+        lo = lo + jnp.sum(p * Ax_lo.astype(adt))
+        nl = -logsig(Ax) * scale
+        nhi, nlo = accum_sum_pair(nl.astype(adt), adt)
+        hi, e = two_sum(hi, nhi)
+        lo = lo + e + nlo
+        corr = (jax.nn.sigmoid(Ax) - 1.0) * scale * Ax_lo
         lo = lo + jnp.sum(corr.astype(adt))
+    else:
+        terms = ((1.0 - gd.b) * Ax - logsig(Ax)) * scale
+        hi, lo = accum_sum_pair(terms.astype(adt), adt)
     if l2:
         t = jnp.asarray(l2 / 2.0, adt) * x_sqnorm.astype(adt)
         hi, e = two_sum(hi, t)
@@ -268,19 +285,76 @@ def gram_krylov_step(
     inc = _mm(S_c, lz.Vu)  # (L, n_pad)
     Axs, inc_err = two_sum(Ax[None, :], inc)
     Axs_lo = Ax_lo[None, :] + inc_err
-    xsqs = jax.vmap(lambda gm, zt, ax, axl: _x_sqnorm(
-        gd, gm, zt, ax, adt, Ax_lo=axl))(gammas, zetas, Axs, Axs_lo)
-    vhis, vlos = jax.vmap(lambda ax, axl, xq: _gram_value(
-        gd, ax, xq, l2, adt, Ax_lo=axl))(Axs, Axs_lo, xsqs)
 
-    # accept test on the two-float gap: NaN-safe (NaN -> not ok)
-    ok = ls_accept(vhis, vlos, value, state.value_lo, model_decs)
-    idx = jnp.where(jnp.any(ok), jnp.argmax(ok), L - 1)
+    if l2:
+        # absolute candidate values (the l2 term needs |x|^2)
+        xsqs = jax.vmap(lambda gm, zt, ax, axl: _x_sqnorm(
+            gd, gm, zt, ax, adt, Ax_lo=axl))(gammas, zetas, Axs, Axs_lo)
+        vhis, vlos = jax.vmap(lambda ax, axl, xq: _gram_value(
+            gd, ax, xq, l2, adt, Ax_lo=axl))(Axs, Axs_lo, xsqs)
+        # pair_diff structure: hi difference exact by Sterbenz, errors
+        # and lo parts folded into the lo
+        dfhs, errs = jax.vmap(lambda vh: two_sum(vh, -value))(vhis)
+        dfls = errs + (vlos - state.value_lo)
+    else:
+        # ---- difference-form candidate evaluation ----
+        # Direct evaluation of each candidate's f costs absolute error
+        # ~eps*|margin|/sqrt(n) per trial (~2.4e-9 measured at n=4k once
+        # iterates grow) — enough that the batched accept test picks
+        # trials whose *noise* reads as decrease, and the committed
+        # value chain drifts downhill while the true f wanders (the
+        # round-3 n=4k stall). Computing the CHANGE instead is
+        # relatively accurate in the change itself:
+        #   dphi = (1-b) * delta + [softplus(-m-delta) - softplus(-m)]
+        # with the bracket evaluated stably as
+        #   log1p(sigmoid(-m) * expm1(-delta))
+        # — the linear part is an exact pair-dot against the known
+        # increment, the nonlinear part scales with |sigmoid'*delta|.
+        # Accept decisions and the committed value pair then carry
+        # error proportional to the decrease at ANY gap scale.
+        from krylov_crn_tpu.ops.math import dot2
 
-    gamma_new = gammas[idx]
-    zeta_new = zetas[idx]
-    value_new, value_new_lo = vhis[idx], vlos[idx]
-    s_c = S_c[idx]
+        p = ((1.0 - gd.b) * gd.mask / n).astype(adt)
+        sig_neg = jax.nn.sigmoid(-Ax)
+        scale = gd.mask / n
+
+        def cand_df(inc_c):
+            lin_hi, lin_lo = dot2(p, inc_c.astype(adt))
+            nl = scale * jnp.log1p(sig_neg * jnp.expm1(-inc_c))
+            shi, slo = accum_sum_pair(nl.astype(adt), adt)
+            hi, e = two_sum(lin_hi, shi)
+            return hi, lin_lo + e + slo
+
+        dfhs, dfls = jax.vmap(cand_df)(inc)
+        vhis, es = jax.vmap(lambda dh: two_sum(value, dh))(dfhs)
+        vlos = state.value_lo + es + dfls
+
+    # accept test on the pair decrease: NaN-safe (NaN -> not ok). The
+    # second clause mirrors ls_accept's: once the model decrease is
+    # below one ulp of f, accept any non-increase up to the same ulp —
+    # the reference's fp64 comparison cannot see below that either, and
+    # at exact convergence the difference-form gap reads +-eps^2-level
+    # noise rather than exactly 0.
+    gaps_c = dfhs + dfls
+    ulp = jnp.asarray(jnp.finfo(value.dtype).eps, adt) * jnp.abs(value)
+    ok = ((gaps_c <= -model_decs)
+          | ((model_decs <= ulp) & (gaps_c <= ulp)))
+    any_ok = jnp.any(ok)
+    idx = jnp.where(any_ok, jnp.argmax(ok), 0)
+
+    # All-reject episode: the reference's cap-and-commit semantics
+    # (cubic.py:294-303) would commit the last trial with its reg
+    # inflated by 2^ls_max — one such episode (which fp32 trial noise
+    # near the floor CAN produce, unlike fp64) pins reg at ~1e9 and the
+    # recovery at x0.5/iteration freezes the run for ~30 iterations
+    # (measured: the n=4k fp32 stall at gap 2.4e-6 was exactly this).
+    # Instead: freeze the iterate, raise reg by ONE backtracking notch.
+    # Unreachable for fp64 runs, so reference parity is unaffected.
+    gamma_new = jnp.where(any_ok, gammas[idx], gamma)
+    zeta_new = jnp.where(any_ok, zetas[idx], zeta)
+    value_new = jnp.where(any_ok, vhis[idx], value)
+    value_new_lo = jnp.where(any_ok, vlos[idx], state.value_lo)
+    s_c = jnp.where(any_ok, S_c[idx], jnp.zeros_like(S_c[idx]))
 
     if rederive and (K_lz.dtype != gd.K.dtype or cdt == jnp.float32):
         # Re-derive the committed margins through the full-precision K
@@ -298,21 +372,28 @@ def gram_krylov_step(
         xsq_new = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
         value_new, value_new_lo = _gram_value(gd, Ax_new, xsq_new, l2, adt)
     else:
-        Ax_new = Axs[idx]
-        Ax_lo_new = Axs_lo[idx]
+        Ax_new = jnp.where(any_ok, Axs[idx], Ax)
+        Ax_lo_new = jnp.where(any_ok, Axs_lo[idx], Ax_lo)
 
-    # ||x_new - x|| = ||V s|| in d-space, closed via the rep of the delta
+    # ||x_new - x|| = ||V s|| in d-space, closed via the rep of the delta;
+    # a frozen (all-reject) iteration reports inf, not 0 — the iterate
+    # did not move but the solver is not claiming tolerance convergence
     delta = Rep(jnp.dot(s_c, lz.Vb), s_c @ lz.Vw, s_c @ lz.Vu)
-    diff_norm = jnp.sqrt(jnp.maximum(rep_dot(gd, delta, delta, adt), 0.0))
+    diff_norm = jnp.where(
+        any_ok,
+        jnp.sqrt(jnp.maximum(rep_dot(gd, delta, delta, adt), 0.0)),
+        jnp.asarray(jnp.inf, adt))
 
     better = pair_diff(value_new, value_new_lo,
                        state.f_best, state.f_best_lo) < 0
+    reg_new = jnp.where(any_ok, regs[idx],
+                        state.reg_coef.astype(adt) / beta)
     return GramKrylovState(
         gamma=gamma_new, zeta=zeta_new, Ax=Ax_new, Ax_lo=Ax_lo_new,
         w_g=w_new, uK=uK,
         value=value_new, value_lo=value_new_lo,
-        reg_coef=reg_clamp(regs[idx], cdt).astype(cdt),
-        r0=lams[idx].astype(cdt),
+        reg_coef=reg_clamp(reg_new, cdt).astype(cdt),
+        r0=jnp.where(any_ok, lams[idx], state.r0.astype(adt)).astype(cdt),
         solver_it=state.solver_it + its[idx],
         diff_norm=diff_norm.astype(cdt),
         grad_norm=g_norm.astype(cdt),
@@ -341,16 +422,29 @@ def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
     return jax.lax.scan(body, state, None, length=chunk)
 
 
-@functools.partial(jax.jit, static_argnames=("npad",))
-def _apply_correction(state: GramKrylovState, buf: jax.Array, npad: int):
+@functools.partial(jax.jit, static_argnames=("npad", "full"))
+def _apply_correction(state: GramKrylovState, buf: jax.Array, npad: int,
+                      full: bool = False):
     """Unpack one host-corrected buffer [margins; lo; w_g; uK; scalars,
-    padded to 5*npad] into the state — one transfer + one dispatch."""
+    padded to 5*npad] into the state — one transfer + one dispatch.
+
+    ``full`` additionally restores gamma/zeta/reg_coef/r0/solver_it from
+    the buffer (rollback to a verified boundary snapshot); the scalar
+    block is [vhi, vlo, bhi, blo, gamma, reg, r0, solver_it] followed by
+    zeta at buf[-npad:]... zeta is packed in rows (see _pack_exact)."""
     m, m_lo, w, uK = (buf[:npad], buf[npad:2 * npad],
                       buf[2 * npad:3 * npad], buf[3 * npad:4 * npad])
-    s = buf[4 * npad:4 * npad + 4]
-    return state._replace(Ax=m, Ax_lo=m_lo, w_g=w, uK=uK,
-                          value=s[0], value_lo=s[1],
-                          f_best=s[2], f_best_lo=s[3])
+    s = buf[4 * npad:4 * npad + 8]
+    st = state._replace(Ax=m, Ax_lo=m_lo, w_g=w, uK=uK,
+                        value=s[0], value_lo=s[1],
+                        f_best=s[2], f_best_lo=s[3])
+    if full:
+        st = st._replace(gamma=s[4], reg_coef=s[5], r0=s[6],
+                         solver_it=s[7].astype(jnp.int32),
+                         zeta=buf[5 * npad:6 * npad],
+                         diff_norm=jnp.asarray(jnp.inf, m.dtype),
+                         grad_norm=jnp.asarray(jnp.inf, m.dtype))
+    return st
 
 
 @functools.partial(jax.jit, static_argnames=("adt",))
@@ -597,14 +691,27 @@ class GramKrylov(Optimizer):
 
         self._ensure_exact_setup()
         st = self.state
-        A = self.loss.A_host
-        n = A.shape[0]
+        n = self.loss.A_host.shape[0]
         # callers that already hold host copies pass them in — every
         # separate device fetch costs a ~40 ms relay round trip
         gamma = float(st.gamma) if gamma_h is None else float(gamma_h)
         zeta = np.asarray(st.zeta if zeta_h is None else zeta_h,
                           np.float64)[:n]
-        t = A.T.dot(zeta)  # = A^T zeta, the rep's d-vector (exact fp64)
+        return self._exact_reinject(gamma, zeta)
+
+    def _exact_reinject(self, gamma, zeta64, reg=None, r0=None,
+                        solver_it=None):
+        """Exact fp64 (margins, value, gradient image) from a host
+        (gamma, zeta) rep, reinjected as one packed transfer + one
+        dispatch. With reg/r0/solver_it given, also restores those — the
+        rollback path of run_fused's trust-but-verify loop."""
+        from scipy.special import expit
+
+        st = self.state
+        A = self.loss.A_host
+        n = A.shape[0]
+        full = reg is not None
+        t = A.T.dot(zeta64)  # = A^T zeta, the rep's d-vector (exact)
         margins = gamma * self._Ax0_64 + A.dot(t)
         ls = np.where(margins < 0, margins - np.log1p(np.exp(margins)),
                       -np.log1p(np.exp(-margins)))
@@ -616,18 +723,10 @@ class GramKrylov(Optimizer):
         # invariant so in-chunk matvec drift never spans two chunks
         w64 = (expit(margins) - self._b01_64) / n
         if self.loss.l2:
-            w64 = w64 + self.loss.l2 * zeta
+            w64 = w64 + self.loss.l2 * zeta64
         uK64 = A.dot(A.T.dot(w64))
         cdt = np.dtype(st.Ax.dtype)
         npad = st.Ax.shape[0]
-        m_dev = np.zeros(npad, cdt)
-        m_dev[:n] = margins.astype(cdt)
-        m_lo = np.zeros(npad, cdt)
-        m_lo[:n] = (margins - m_dev[:n].astype(np.float64)).astype(cdt)
-        w_dev = np.zeros(npad, cdt)
-        w_dev[:n] = w64.astype(cdt)
-        uK_dev = np.zeros(npad, cdt)
-        uK_dev[:n] = uK64.astype(cdt)
         # scalars keep the state's value dtype (fp32 pairs on TPU; fp64
         # under x64 verification, where the step accumulates in fp64)
         vdt = np.dtype(st.value.dtype)
@@ -638,12 +737,20 @@ class GramKrylov(Optimizer):
         blo = vdt.type(self._f_best_exact - float(bhi))
         # ONE packed device transfer + one jitted unpack: separate
         # device_puts cost ~30-80 ms each through the relay (measured).
-        # Padded to 5*npad so a row-sharded placement stays divisible.
-        buf = np.zeros(5 * npad, cdt)
-        buf[:4 * npad] = np.concatenate([m_dev, m_lo, w_dev, uK_dev])
+        # Row blocks of npad so a row-sharded placement stays divisible.
+        buf = np.zeros((6 if full else 5) * npad, cdt)
+        buf[:n] = margins.astype(cdt)
+        buf[npad:npad + n] = (margins
+                              - buf[:n].astype(np.float64)).astype(cdt)
+        buf[2 * npad:2 * npad + n] = w64.astype(cdt)
+        buf[3 * npad:3 * npad + n] = uK64.astype(cdt)
         buf[4 * npad:4 * npad + 4] = (vhi, vlo, bhi, blo)
+        if full:
+            buf[4 * npad + 4:4 * npad + 8] = (gamma, reg, r0,
+                                              float(solver_it))
+            buf[5 * npad:5 * npad + n] = zeta64.astype(cdt)
         buf_d = _dev_like(buf, st.Ax)
-        self.state = _apply_correction(st, buf_d, npad)
+        self.state = _apply_correction(st, buf_d, npad, full=full)
         if np.dtype(st.value.dtype) != cdt:
             # x64 verification path: value scalars live in the accum
             # dtype — restore it (the packed buffer carries cdt)
@@ -702,10 +809,24 @@ class GramKrylov(Optimizer):
         if exact:
             metrics.setdefault("exact_its", [])
             metrics.setdefault("exact_fs", [])
+            # verify-loop observability: iteration counter at each
+            # rollback and the exact f the rejected chunk produced
+            metrics.setdefault("rollback_its", [])
+            metrics.setdefault("rollback_fs", [])
         t_start = _time.perf_counter()
         t_prev = 0.0
+        n_real = self.gd.n
+        chunk_cur = chunk
+        rollbacks = 0
+        rejects_at_1 = 0
+        if exact:
+            # the initial state is host-exact (init_state): it is the
+            # first verified snapshot for the trust-but-verify loop
+            snap = dict(gamma=1.0, zeta=np.zeros(n_real),
+                        reg=float(self.reg_coef), r0=0.1, solver_it=0,
+                        f=self.trace.loss_vals[0])
         while self.it < it_max:
-            k = int(min(chunk, it_max - self.it))
+            k = int(min(chunk_cur, it_max - self.it))
             # incremental pair margins are the accurate choice in every
             # phase (see GramKrylovState): re-derivation would inject a
             # fresh matvec rounding into the committed value each
@@ -719,7 +840,8 @@ class GramKrylov(Optimizer):
             # correction's two cost ~0.3 s/chunk, dominating small runs)
             fetch = (vpairs[0], vpairs[1], gns, dns, sits)
             if exact:
-                fetch += (self.state.gamma, self.state.zeta)
+                fetch += (self.state.gamma, self.state.zeta,
+                          self.state.reg_coef, self.state.r0)
             got = jax.device_get(fetch)
             now = _time.perf_counter() - t_start
             vals = (np.asarray(got[0], np.float64)
@@ -727,6 +849,57 @@ class GramKrylov(Optimizer):
             gns = np.asarray(got[2], np.float64)
             dns = np.asarray(got[3], np.float64)
             sits = got[4]
+            if exact:
+                gamma_h = float(got[5])
+                zeta_h = np.asarray(got[6], np.float64)[:n_real]
+                value64 = self._exact_reinject(gamma_h, zeta_h)
+                # ---- trust-but-verify: the device accept tests run on
+                # fp32 trial values whose noise is selection-biased (the
+                # batched search prefers trials whose noise reads low —
+                # measured: device f "decreasing" ~5e-8/it while exact f
+                # stalls). A chunk must IMPROVE THE EXACT f to be kept;
+                # otherwise roll back to the last verified snapshot and
+                # halve the chunk. At chunk=1 repeated failures raise
+                # reg one notch each try; persistent failure ends the
+                # run at an exact-verified fp32 floor. Monotone exact
+                # boundary values by construction. Accepted superlinear
+                # runs (the benchmark datasets) never roll back and pay
+                # only the bundled scalar fetches.
+                if value64 >= snap["f"]:
+                    rollbacks += 1
+                    metrics["rollback_its"].append(self.it)
+                    metrics["rollback_fs"].append(value64)
+                    if rollbacks >= 64:
+                        self._exact_reinject(
+                            snap["gamma"], snap["zeta"], reg=snap["reg"],
+                            r0=snap["r0"], solver_it=snap["solver_it"])
+                        break
+                    if k == 1:
+                        rejects_at_1 += 1
+                        if rejects_at_1 >= 6:
+                            break
+                    else:
+                        chunk_cur = max(1, k // 2)
+                    # retry reg policy: RESET to the base scale (the
+                    # dominant failure mode near the fp32 floor is
+                    # reg inflated so high that genuine decreases fall
+                    # below the trial-evaluation noise — raising reg
+                    # further spirals); escalate from base only on
+                    # repeated single-iteration failures.
+                    self._exact_reinject(
+                        snap["gamma"], snap["zeta"],
+                        reg=float(self.reg_coef) * (4.0 ** rejects_at_1),
+                        r0=snap["r0"], solver_it=snap["solver_it"])
+                    t_prev = now
+                    self.t = now
+                    if now >= t_max:
+                        break
+                    continue
+                rejects_at_1 = 0
+                chunk_cur = min(chunk, chunk_cur * 2)
+                snap = dict(gamma=gamma_h, zeta=zeta_h.copy(),
+                            reg=float(got[7]), r0=float(got[8]),
+                            solver_it=int(sits[k - 1]), f=value64)
             metrics["grad_norm"].extend(gns[:k])
             metrics["diff_norm"].extend(dns[:k])
             if self._gn_first is None and np.isfinite(gns[0]):
@@ -739,8 +912,6 @@ class GramKrylov(Optimizer):
                 self.trace.loss_vals.append(float(vals[j]))
                 self.trace.solver_its.append(int(sits[j]))
             if exact:
-                value64 = self._exact_correct(gamma_h=got[5],
-                                              zeta_h=got[6])
                 self.trace.loss_vals[-1] = value64
                 metrics["exact_its"].append(self.it)
                 metrics["exact_fs"].append(value64)
@@ -748,7 +919,8 @@ class GramKrylov(Optimizer):
             self.t = now
             # checkpoint the rep at chunk boundaries (for materialization)
             self.update_trace_checkpoint_only()
-            if self.tolerance > 0 and dns[-1] < self.tolerance:
+            if (self.tolerance > 0 and np.isfinite(dns[k - 1])
+                    and dns[k - 1] < self.tolerance):
                 break
             if now >= t_max:
                 break

@@ -187,3 +187,56 @@ def test_fp32_pair_solver_matches_fp64_optimum(small_problem):
     vals = (np.asarray(vpairs[0], np.float64)
             + np.asarray(vpairs[1], np.float64))
     assert vals[-1] < vals[0] - 1e-4
+
+
+def _scale_problem(own_frac):
+    from krylov_crn_tpu.data.synthetic import synthetic_logreg
+
+    # R=24 << conflict twins (2% * 4096 / 2 = 40): the twins span the
+    # row space and the optimum is attained
+    A, b = synthetic_logreg((4096, 8192, 131072), seed=2, profile="topic",
+                            topic_params=dict(R=24, n_clusters=8,
+                                              own_frac=own_frac,
+                                              pop_exp=1.1))
+    return A, b, np.ones(A.shape[1]) * 0.5
+
+
+def _run_pair(A, b, x0, it_max):
+    from krylov_crn_tpu.models.logistic import LogisticRegression
+    from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
+
+    loss64 = LogisticRegression(A, b, dtype=np.float64)
+    a64 = GramKrylov(loss=loss64, reg_coef=1e-3, subspace_dim=10,
+                     tolerance=0, tqdm=False, label="s64")
+    t64 = a64.run_fused(x0, it_max=it_max, chunk=16)
+    loss32 = LogisticRegression(A, b, dtype=np.float32)
+    a32 = GramKrylov(loss=loss32, reg_coef=1e-3, subspace_dim=10,
+                     tolerance=0, tqdm=False, label="s32")
+    t32 = a32.run_fused(x0, it_max=it_max, chunk=16)
+    return float(np.min(t64.loss_vals)), t32
+
+
+def test_fp32_production_path_at_scale_fast_tail():
+    """n~4k topic problem with an interior optimum (the benchmark
+    datasets' class): the production fp32 path must reach the fp64 run's
+    value below the 1e-8 gap target. Round 2's 400-row-only coverage
+    hid n-scaled noise floors (VERDICT r2)."""
+    A, b, x0 = _scale_problem(own_frac=0.45)
+    f64, t32 = _run_pair(A, b, x0, it_max=64)
+    f32 = min(t32.metrics["exact_fs"])  # exact fp64 host-verified
+    assert f32 - f64 < 1e-8
+
+
+def test_fp32_at_scale_slow_tail_monotone_verified():
+    """n~4k problem with a slow-linear tail (curvature directions >> m):
+    fp32 cannot resolve the last ~1e-6 that fp64 grinds out (documented
+    envelope, PERF.md round 3) — but the trust-but-verify loop must
+    guarantee a MONOTONE exact boundary curve (no wandering: round 3
+    found device-value selection bias walking the iterate sideways while
+    'decreasing'), and the verified floor must stay within 5e-6 of the
+    equal-budget fp64 value."""
+    A, b, x0 = _scale_problem(own_frac=0.6)
+    f64, t32 = _run_pair(A, b, x0, it_max=48)
+    fs = t32.metrics["exact_fs"]
+    assert all(b2 < a2 for a2, b2 in zip(fs, fs[1:]))  # strictly monotone
+    assert min(fs) - f64 < 5e-6
