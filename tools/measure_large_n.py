@@ -83,7 +83,10 @@ def measure_hvp(data, k1=1, k2=4, reps=3):
 
     def make_chained(k):
         @jax.jit
-        def f(w, v):
+        def f(data, w, v):
+            # data MUST be a jit argument: closure-captured COO arrays
+            # embed as jaxpr constants (2.4 GB here) and fall off the
+            # known ~800x compile/codegen cliff (package rule 1)
             def body(v, _):
                 v = hvp_sparse(data, w, v)
                 return v / jnp.linalg.norm(v), ()
@@ -92,7 +95,7 @@ def measure_hvp(data, k1=1, k2=4, reps=3):
         return f
 
     v0 = jnp.ones((data.d,), jnp.float32)
-    sec = device_time_per_call(make_chained, (w, v0), k1=k1, k2=k2,
+    sec = device_time_per_call(make_chained, (data, w, v0), k1=k1, k2=k2,
                                reps=reps)
     return sec
 
