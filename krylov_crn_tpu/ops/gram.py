@@ -173,8 +173,11 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
       persisted via the compilation cache);
     * a scan needs uniform shapes: the nnz stream is cut into fixed-size
       chunks (padded; sized to the mean panel nnz so padding waste stays
-      bounded), each tagged with an end-of-panel flag that triggers the
-      GEMM flush via ``lax.cond``.
+      bounded). In the panel layout (_scan_build_K_panels) each panel's
+      chunks scatter in an inner scan and ONE GEMM flushes per panel; in
+      the skew fallback (_scan_build_K) an end-of-panel flag gates a
+      *masked* GEMM accumulate — NOT a ``lax.cond``, which compiled 46x
+      slower on this stack (see _scan_build_K's docstring).
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST

@@ -127,7 +127,7 @@ def pair_diff(ahi, alo, bhi, blo):
     return s + (e + (alo - blo))
 
 
-def reg_clamp(reg, cdt):
+def reg_clamp(reg, cdt, ceil: float = 1e6):
     """Ceiling for the committed cubic regularization coefficient.
 
     When every line-search trial is rejected (possible only at the
@@ -135,14 +135,19 @@ def reg_clamp(reg, cdt):
     f), the reference commits the last trial and its reg doubles per
     trial without bound (cubic.py:294-303 has no cap — its runs stop on
     tolerance first). A fixed-iteration device run must survive this.
-    The ceiling is 1e6: the legitimate scale of reg is the Hessian
-    Lipschitz constant (<~1 for unit-row logistic; line searches push a
-    few orders beyond during hard steps), so 1e6 is ample headroom —
-    while recovery from an inflated reg costs log2(reg/M) iterations at
+    The default ceiling is 1e6: the legitimate scale of reg is the
+    Hessian Lipschitz constant (<~1 for unit-row logistic; line searches
+    push a few orders beyond during hard steps), so 1e6 is ample headroom
+    — while recovery from an inflated reg costs log2(reg/M) iterations at
     the optimistic x0.5/iteration decrease, so a runaway to fp32-max^0.25
     (~4e9, the round-2 ceiling) freezes a run for ~30+ iterations
-    (measured: the n=4k fp32 stall)."""
-    return jnp.minimum(reg, jnp.asarray(1e6, reg.dtype))
+    (measured: the n=4k fp32 stall).
+
+    ``ceil``: problems whose legitimate reg scale approaches 1e6 (losses
+    or data far from the unit-row regime) pass a scaled ceiling — the
+    solvers use max(1e6, 1e4 * initial reg_coef), keeping 1e6 as the
+    floor of the cap (advisor round-3 finding)."""
+    return jnp.minimum(reg, jnp.asarray(ceil, reg.dtype))
 
 
 def ls_accept(vhi, vlo, fhi, flo, model_dec):

@@ -55,14 +55,16 @@ class CRNState(NamedTuple):
     f_best_lo: jax.Array
 
 
-def _finish(state, x_new, Ax_new, vhi, vlo, reg, lam, it, g_norm, adt):
+def _finish(state, x_new, Ax_new, vhi, vlo, reg, lam, it, g_norm, adt,
+            reg_ceil=1e6):
     cdt = state.x.dtype
     diff = x_new - state.x
     diff_norm = jnp.sqrt(jnp.dot(diff.astype(adt), diff.astype(adt)))
     better = pair_diff(vhi, vlo, state.f_best, state.f_best_lo) < 0
     return CRNState(
         x=x_new, Ax=Ax_new, value=vhi, value_lo=vlo,
-        reg_coef=reg_clamp(reg, cdt).astype(cdt), r0=lam.astype(cdt),
+        reg_coef=reg_clamp(reg, cdt, reg_ceil).astype(cdt),
+        r0=lam.astype(cdt),
         solver_it=state.solver_it + it,
         diff_norm=diff_norm.astype(cdt), grad_norm=g_norm.astype(cdt),
         f_best=jnp.where(better, vhi, state.f_best),
@@ -73,7 +75,7 @@ def _finish(state, x_new, Ax_new, vhi, vlo, reg, lam, it, g_norm, adt):
 @functools.partial(
     jax.jit,
     static_argnames=("l2", "beta", "solver_eps", "solver_it_max",
-                     "tolerance", "ls_max", "accum_dtype"),
+                     "tolerance", "ls_max", "accum_dtype", "reg_ceil"),
 )
 def crn_step_full(
     data: DualSparse,
@@ -86,6 +88,7 @@ def crn_step_full(
     tolerance: float = 0.0,
     ls_max: int = 200,
     accum_dtype=jnp.float32,
+    reg_ceil: float = 1e6,
 ) -> CRNState:
     """One CRN iteration with the dense-eigh subproblem backend."""
     adt = jnp.dtype(accum_dtype)
@@ -130,7 +133,7 @@ def crn_step_full(
         reg, lam, it, _, x_new, Ax_new, vhi, vlo, _ = jax.lax.while_loop(
             ls_cond, ls_body, carry0)
         return _finish(state, x_new, Ax_new, vhi, vlo, reg, lam, it,
-                       g_norm, adt)
+                       g_norm, adt, reg_ceil)
 
     return jax.lax.cond(g_norm < tolerance, early, work, None)
 
@@ -138,7 +141,8 @@ def crn_step_full(
 @functools.partial(
     jax.jit,
     static_argnames=("l2", "beta", "solver_eps", "solver_it_max",
-                     "tolerance", "ls_max", "cg_maxiter", "accum_dtype"),
+                     "tolerance", "ls_max", "cg_maxiter", "accum_dtype",
+                     "reg_ceil"),
 )
 def crn_step_cg(
     data: DualSparse,
@@ -152,6 +156,7 @@ def crn_step_cg(
     ls_max: int = 200,
     cg_maxiter: int | None = None,
     accum_dtype=jnp.float32,
+    reg_ceil: float = 1e6,
 ) -> CRNState:
     """One CRN iteration with the matrix-free CG subproblem backend."""
     adt = jnp.dtype(accum_dtype)
@@ -203,7 +208,7 @@ def crn_step_cg(
         reg, lam, it, _, x_new, Ax_new, vhi, vlo, _ = jax.lax.while_loop(
             ls_cond, ls_body, carry0)
         return _finish(state, x_new, Ax_new, vhi, vlo, reg, lam, it,
-                       g_norm, adt)
+                       g_norm, adt, reg_ceil)
 
     return jax.lax.cond(g_norm < tolerance, early, work, None)
 
@@ -248,6 +253,7 @@ class CubicNewton(Optimizer):
             solver_it_max=self.solver_it_max, tolerance=float(self.tolerance),
             ls_max=self.ls_max,
             accum_dtype=_accum_dtype(self.state.x.dtype),
+            reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
         )
         if self.cubic_solver == "full":
             self.state = crn_step_full(self.loss.data, self.loss.b,

@@ -184,6 +184,7 @@ def gram_crn_step(
     ls_max: int = 200,
     cg_maxiter: int = 500,
     accum_dtype=jnp.float32,
+    reg_ceil: float = 1e6,
 ) -> GramKrylovState:
     """One CRN-CG iteration: host-sequenced secular Newton + backtracking
     line search over jitted one-CG-solve device programs (mirrors the
@@ -259,7 +260,7 @@ def gram_crn_step(
         gamma=gamma_new, zeta=zeta_new, Ax=Ax_new, Ax_lo=Ax_lo_new,
         w_g=state.w_g, uK=state.uK,
         value=value_new, value_lo=value_new_lo,
-        reg_coef=reg_clamp(jnp.asarray(reg, cdt), cdt),
+        reg_coef=reg_clamp(jnp.asarray(reg, cdt), cdt, reg_ceil),
         r0=jnp.asarray(lam, cdt),
         solver_it=state.solver_it + jnp.asarray(newton_it, jnp.int32),
         diff_norm=norm_s.astype(cdt),
@@ -289,15 +290,27 @@ class GramCRN(GramKrylov):
             tolerance=float(self.tolerance), ls_max=self.ls_max,
             cg_maxiter=self.cg_maxiter,
             accum_dtype=_accum_dtype(self.state.zeta.dtype),
+            reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
         )
-        if (self.state.zeta.dtype == jnp.float32
-                and getattr(self.loss, "A_host", None) is not None):
+        if self.state.zeta.dtype == jnp.float32:
             # fp32 runs: pin the committed state to exact fp64 host
             # values every iteration (the step is host-sequenced anyway;
             # two sparse SpMVs ~ the cost of one CG iteration). Without
             # this the incremental fp32 margins floor the reachable gap
             # at ~1e-5 (measured in the round-3 Figure-2 artifact).
-            self._exact_correct()
+            # A_host is guaranteed: GramKrylov.init_state raises without
+            # it (the K build needs the host matrix), so fp32 GramCRN
+            # never runs correction-less — there is no device-only-data
+            # drift path (advisor round-3 finding).
+            v64 = self._exact_correct()
+            # record the exact value stream: these per-iteration fp64
+            # host-verified values are what lets the Figure-2 artifact
+            # prove its own f* anchor (curve_of / final_gaps read
+            # exact_fs when present) — without them the CRN leg that
+            # *defines* f_star carried fp64_verified: false
+            m = self.trace.metrics
+            m.setdefault("exact_its", []).append(self.it + 1)
+            m.setdefault("exact_fs", []).append(v64)
 
     def check_convergence(self):
         if (self.tolerance > 0 and self.it > 0

@@ -69,7 +69,7 @@ def _asdt(v, dt):
 @functools.partial(
     jax.jit,
     static_argnames=("m", "l2", "beta", "solver_eps", "solver_it_max",
-                     "ls_max", "reorth_passes", "accum_dtype"),
+                     "ls_max", "reorth_passes", "accum_dtype", "reg_ceil"),
 )
 def krylov_step(
     data: DualSparse,
@@ -83,6 +83,7 @@ def krylov_step(
     ls_max: int = 20,
     reorth_passes: int = 1,
     accum_dtype=jnp.float32,
+    reg_ceil: float = 1e6,
 ) -> KrylovState:
     """One Krylov-CRN iteration (cubic.py:265-309) as one XLA program."""
     cdt = state.x.dtype
@@ -158,7 +159,7 @@ def krylov_step(
         Ax=Ax_new,
         value=value_new,
         value_lo=value_new_lo,
-        reg_coef=reg_clamp(reg, cdt).astype(cdt),
+        reg_coef=reg_clamp(reg, cdt, reg_ceil).astype(cdt),
         r0=lam.astype(cdt),
         solver_it=state.solver_it + it,
         diff_norm=diff_norm.astype(cdt),
@@ -215,6 +216,7 @@ class CubicKrylov(Optimizer):
             solver_eps=self.solver_eps, solver_it_max=self.solver_it_max,
             ls_max=self.ls_max, reorth_passes=self.reorth_passes,
             accum_dtype=_accum_dtype(self.state.x.dtype),
+            reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
         )
 
     def update_trace(self):

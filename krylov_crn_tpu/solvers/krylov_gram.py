@@ -147,6 +147,39 @@ def _x_sqnorm(gd: GramData, gamma, zeta, Ax, adt, Ax_lo=None):
     return out
 
 
+def _candidate_df(gd: GramData, Ax, inc_c, adt):
+    """Difference-form loss change for ONE candidate margin increment:
+
+        dphi = (1-b).delta + [softplus(-m-delta) - softplus(-m)]
+
+    with the bracket evaluated as log1p(sigmoid(-m) * expm1(-delta)) where
+    |delta| is small (the cancellation-prone regime) and as the direct
+    softplus difference where |delta| >= 15 — there the difference is
+    O(|delta|), not O(eps), so the direct form is accurate AND avoids the
+    fp32 failure modes of the log1p form (advisor round-3 finding: for
+    inc >= ~+17 with m <= -17 the product rounds to exactly -1 and log1p
+    returns -inf, which the accept test then unconditionally accepts; for
+    inc <= -88 expm1 overflows). Returns the change as an (hi, lo) pair.
+
+    Module-level (rather than a closure in gram_krylov_step) so the
+    extreme-margin guards are unit-testable against fp64."""
+    from krylov_crn_tpu.ops.math import dot2
+
+    n = gd.n
+    p = ((1.0 - gd.b) * gd.mask / n).astype(adt)
+    sig_neg = jax.nn.sigmoid(-Ax)
+    scale = gd.mask / n
+    lin_hi, lin_lo = dot2(p, inc_c.astype(adt))
+    inc_s = jnp.clip(inc_c, -15.0, 15.0)
+    nl_log1p = jnp.log1p(sig_neg * jnp.expm1(-inc_s))
+    nl_direct = (jax.nn.softplus(-(Ax + inc_c))
+                 - jax.nn.softplus(-Ax))
+    nl = scale * jnp.where(jnp.abs(inc_c) < 15.0, nl_log1p, nl_direct)
+    shi, slo = accum_sum_pair(nl.astype(adt), adt)
+    hi, e = two_sum(lin_hi, shi)
+    return hi, lin_lo + e + slo
+
+
 def _lr_matvec(K_lr, q, cdt):
     """Low-precision K-matvec with fp32 accumulation."""
     return jax.lax.dot_general(
@@ -171,7 +204,7 @@ def _mm(a, b):
     jax.jit,
     static_argnames=("m", "l2", "beta", "solver_eps", "solver_it_max",
                      "ls_max", "reorth_passes", "accum_dtype", "rederive",
-                     "use_lr"),
+                     "use_lr", "reg_ceil"),
 )
 def gram_krylov_step(
     gd: GramData,
@@ -186,6 +219,7 @@ def gram_krylov_step(
     accum_dtype=jnp.float32,
     rederive: bool = False,
     use_lr: bool = True,
+    reg_ceil: float = 1e6,
 ) -> GramKrylovState:
     """One Krylov-CRN iteration, TPU-shaped:
 
@@ -312,20 +346,8 @@ def gram_krylov_step(
         # increment, the nonlinear part scales with |sigmoid'*delta|.
         # Accept decisions and the committed value pair then carry
         # error proportional to the decrease at ANY gap scale.
-        from krylov_crn_tpu.ops.math import dot2
-
-        p = ((1.0 - gd.b) * gd.mask / n).astype(adt)
-        sig_neg = jax.nn.sigmoid(-Ax)
-        scale = gd.mask / n
-
-        def cand_df(inc_c):
-            lin_hi, lin_lo = dot2(p, inc_c.astype(adt))
-            nl = scale * jnp.log1p(sig_neg * jnp.expm1(-inc_c))
-            shi, slo = accum_sum_pair(nl.astype(adt), adt)
-            hi, e = two_sum(lin_hi, shi)
-            return hi, lin_lo + e + slo
-
-        dfhs, dfls = jax.vmap(cand_df)(inc)
+        dfhs, dfls = jax.vmap(
+            lambda inc_c: _candidate_df(gd, Ax, inc_c, adt))(inc)
         vhis, es = jax.vmap(lambda dh: two_sum(value, dh))(dfhs)
         vlos = state.value_lo + es + dfls
 
@@ -392,7 +414,7 @@ def gram_krylov_step(
         gamma=gamma_new, zeta=zeta_new, Ax=Ax_new, Ax_lo=Ax_lo_new,
         w_g=w_new, uK=uK,
         value=value_new, value_lo=value_new_lo,
-        reg_coef=reg_clamp(reg_new, cdt).astype(cdt),
+        reg_coef=reg_clamp(reg_new, cdt, reg_ceil).astype(cdt),
         r0=jnp.where(any_ok, lams[idx], state.r0.astype(adt)).astype(cdt),
         solver_it=state.solver_it + its[idx],
         diff_norm=diff_norm.astype(cdt),
@@ -406,7 +428,7 @@ def gram_krylov_step(
     jax.jit,
     static_argnames=("chunk", "m", "l2", "beta", "solver_eps",
                      "solver_it_max", "ls_max", "reorth_passes",
-                     "accum_dtype", "rederive", "use_lr"),
+                     "accum_dtype", "rederive", "use_lr", "reg_ceil"),
 )
 def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
                           chunk: int = 16, **kw):
@@ -560,6 +582,14 @@ class GramKrylov(Optimizer):
         self._x0_host = x0h
         self._gn_first = None
         self._use_lr = True
+        # clear lazily-cached exact-correction constants: a second run on
+        # the same instance with a different x0 must not reinject exact
+        # margins computed from the stale x0, nor leak the previous run's
+        # _f_best_exact into this run (advisor round-3 finding);
+        # _ensure_exact_setup / run_fused recompute them per run
+        self._Ax0_64 = None
+        self._b01_64 = None
+        self._f_best_exact = None
         dtype = np.dtype(loss.b.dtype)
         if self._gd_preset is not None:
             gd = self._gd_preset
@@ -631,6 +661,7 @@ class GramKrylov(Optimizer):
             ls_max=self.ls_max, reorth_passes=self.reorth_passes,
             accum_dtype=_accum_dtype(self.state.zeta.dtype),
             use_lr=self._use_lr,
+            reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
         )
         self._maybe_enter_fp32_tail(float(self.state.grad_norm))
 
@@ -800,6 +831,7 @@ class GramKrylov(Optimizer):
             solver_eps=self.solver_eps, solver_it_max=self.solver_it_max,
             ls_max=self.ls_max, reorth_passes=self.reorth_passes,
             accum_dtype=_accum_dtype(cdt),
+            reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
         )
         v0h, v0l = jax.device_get((self.state.value, self.state.value_lo))
         self.trace.loss_vals = [float(v0h) + float(v0l)]
@@ -957,17 +989,25 @@ class GramKrylov(Optimizer):
     def compute_loss_of_iterates(self):
         """O(n) per checkpoint from stored margins — no SpMV re-eval pass
         (the reference pays one full SpMV per stored iterate,
-        opt_trace.py:39-43)."""
+        opt_trace.py:39-43).
+
+        The re-evaluated values fold into ``loss.f_opt`` only under x64
+        (where they are fp64-exact). On fp32 runs the checkpoints store
+        only the margin hi part, so these readings carry ~eps*|margin|
+        noise — letting them define the empirical f* violates the rule
+        that device readings must not define f* (the exact host-verified
+        boundary values, already folded by run_fused / the step-by-step
+        exact corrections, are the f* source on fp32 paths)."""
         if len(self.trace.loss_vals):
             return
-        adt = jnp.float64 if jax.config.read("jax_enable_x64") else \
-            jnp.float32
+        x64 = jax.config.read("jax_enable_x64")
+        adt = jnp.float64 if x64 else jnp.float32
         vals = []
         for ck in self.trace.xs:
             hi, lo = _gram_value(self.gd, ck.Ax, ck.x_sqnorm,
                                  self.loss.l2, adt)
             v = float(hi) + float(lo)
-            if v < self.loss.f_opt:
+            if x64 and v < self.loss.f_opt:
                 self.loss.f_opt = v
             vals.append(v)
         self.trace.loss_vals = np.asarray(vals)

@@ -58,7 +58,7 @@ class SSCNState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("m", "l2", "beta", "solver_eps", "solver_it_max",
-                     "ls_max", "accum_dtype"),
+                     "ls_max", "accum_dtype", "reg_ceil"),
 )
 def sscn_step(
     data: DualSparse,
@@ -71,6 +71,7 @@ def sscn_step(
     solver_it_max: int = 100,
     ls_max: int = 200,
     accum_dtype=jnp.float32,
+    reg_ceil: float = 1e6,
 ) -> SSCNState:
     """One SSCN iteration (cubic.py:352-398) as one XLA program."""
     cdt = state.x.dtype
@@ -125,7 +126,8 @@ def sscn_step(
     better = pair_diff(vhi, vlo, state.f_best, state.f_best_lo) < 0
     return SSCNState(
         x=x_new, Ax=Ax_new, value=vhi, value_lo=vlo,
-        reg_coef=reg_clamp(reg, cdt).astype(cdt), r0=lam.astype(cdt),
+        reg_coef=reg_clamp(reg, cdt, reg_ceil).astype(cdt),
+        r0=lam.astype(cdt),
         solver_it=state.solver_it + it,
         diff_norm=diff_norm.astype(cdt),
         f_best=jnp.where(better, vhi, state.f_best),
@@ -185,6 +187,7 @@ class SSCN(Optimizer):
             solver_eps=self.solver_eps, solver_it_max=self.solver_it_max,
             ls_max=self.ls_max,
             accum_dtype=_accum_dtype(self.state.x.dtype),
+            reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
         )
 
     def update_trace(self):

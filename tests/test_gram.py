@@ -143,3 +143,40 @@ def test_gram_crn_matches_standard_cg(gram_problem):
     assert abs(float(gram.state.value) - float(std.state.value)) < 1e-8
     assert abs(float(gram.state.grad_norm) - float(std.state.grad_norm)) \
         < 1e-6 * max(1.0, float(std.state.grad_norm))
+
+
+def test_candidate_df_extreme_margins_fp32():
+    """The fp32 difference-form loss change must stay finite and accurate
+    at extreme margins/increments (advisor round-3 finding: the log1p
+    form returns -inf for m<=-17 with inc>=+17, and expm1 overflows for
+    inc<=-88 — a -inf candidate is unconditionally accepted and corrupts
+    the committed value chain)."""
+    from krylov_crn_tpu.ops.gram import GramData
+    from krylov_crn_tpu.solvers.krylov_gram import _candidate_df
+
+    n = 8
+    rng = np.random.default_rng(3)
+    margins = np.array([-20.0, -17.5, 30.0, 0.3, -0.2, 5.0, -90.0, 2.0])
+    incs = np.array([+20.0, +17.0, -100.0, 0.01, -0.05, -3.0, +4.0, 1.0])
+    b = (rng.random(n) < 0.5).astype(np.float64)
+
+    gd = GramData(
+        K=jnp.zeros((n, n), jnp.float32),
+        Ax0=jnp.asarray(margins, jnp.float32),
+        b=jnp.asarray(b, jnp.float32),
+        mask=jnp.ones(n, jnp.float32),
+        x0_sqnorm=jnp.asarray(1.0, jnp.float32),
+        K_lr=None, n=n, d=n, nnz=n,
+    )
+    hi, lo = _candidate_df(gd, jnp.asarray(margins, jnp.float32),
+                           jnp.asarray(incs, jnp.float32), jnp.float32)
+    got = float(hi) + float(lo)
+    assert np.isfinite(got), "difference-form change overflowed to inf/nan"
+
+    def f64(m):
+        ls = np.where(m < 0, m - np.log1p(np.exp(m)), -np.log1p(np.exp(-m)))
+        return float(np.mean((1.0 - b) * m - ls))
+
+    want = f64(margins + incs) - f64(margins)
+    # fp32 difference-form: accurate relative to the CHANGE
+    assert abs(got - want) < 1e-5 * max(1.0, abs(want))

@@ -187,10 +187,12 @@ def run_reference(A, b, x0, it_max, sscn_dims):
     loss = RefLogReg(A, b, l1=0, l2=0, store_mat_vec_prod=True)
     loss_csc = RefLogReg(A.tocsc(), b, l1=0, l2=0, store_mat_vec_prod=True)
 
+    # equal budgets both sides (round-3 verdict: the reference legs were
+    # capped at 60 s while ours got 240 s, making news20's reference-CRN
+    # 0.43 final gap a budget artifact; every leg now gets REF_T_MAX)
     crn = Cubic_LS(loss=loss, reg_coef=1e-3, tolerance=1e-8, tqdm=False,
                    cubic_solver="full" if dim < 500 else "CG", label="CRN")
-    crn.run(x0=np.asarray(x0, np.float64), it_max=it_max,
-            t_max=REF_T_MAX if dim < 500 else 60.0)
+    crn.run(x0=np.asarray(x0, np.float64), it_max=it_max, t_max=REF_T_MAX)
     crn.compute_loss_of_iterates()
     curves["CRN"] = curve_of(crn.trace)
 
@@ -203,7 +205,8 @@ def run_reference(A, b, x0, it_max, sscn_dims):
     for m in sscn_dims:
         alg = RefSSCN(loss=loss_csc, reg_coef=1e-3, subspace_dim=m,
                       tqdm=False, label=f"SSCN (m={m})")
-        alg.run(x0=np.asarray(x0, np.float64), it_max=it_max, t_max=60.0)
+        alg.run(x0=np.asarray(x0, np.float64), it_max=it_max,
+                t_max=REF_T_MAX)
         alg.compute_loss_of_iterates()
         curves[f"SSCN (m={m})"] = curve_of(alg.trace)
 
