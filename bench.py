@@ -39,7 +39,11 @@ import numpy as np
 
 M = 10
 GAP = 1e-8
-CHUNK = 16  # iterations per device dispatch; exact fp64 correction cadence
+# iterations per device dispatch (also the exact fp64 correction cadence):
+# the m=10 run crosses the gap at it ~24-32 (measured r3/r4), so chunk=32
+# reaches it in ONE dispatch — each extra round trip risks the relay's
+# sporadic multi-second stalls (PERF.md round-4)
+CHUNK = 32
 OUR_IT_MAX = 64  # fp32 Gram m=10 crosses 1e-8 at it ~24-32 (measured r3)
 FSTAR_IT = 192  # m=20 benchmark run for the empirical f*
 REF_IT_MAX = 50  # reference crosses at it ~28-32 (cubic_newton.sh uses 50)
@@ -97,10 +101,11 @@ def bench_ours(A, b, x0):
 
     kw = dict(m=M, l2=0.0, beta=0.5, solver_eps=1e-8, solver_it_max=100,
               ls_max=20, reorth_passes=1,
-              accum_dtype=_accum_dtype(jnp.dtype(dtype)))
+              accum_dtype=_accum_dtype(jnp.dtype(dtype)),
+              reg_ceil=max(1e6, 1e4 * 1e-3))
     for lr in (True, False):
-        st, _ = gram_krylov_multistep(alg.gd, alg.state, chunk=CHUNK,
-                                      use_lr=lr, **kw)
+        st, outs = gram_krylov_multistep(alg.gd, alg.state, chunk=CHUNK,
+                                         use_lr=lr, stack_reps=True, **kw)
         float(st.value)
     # the correction-apply and checkpoint programs also compile on first
     # use — keep those one-time compiles out of the timed race
@@ -113,7 +118,12 @@ def bench_ours(A, b, x0):
     _apply_correction(alg.state, jnp.zeros(5 * npad, dtype), npad)
     _checkpoint_of(alg.gd, alg.state, _accum_dtype(jnp.dtype(dtype)))
 
-    trace = alg.run_fused(x0, it_max=OUR_IT_MAX, chunk=CHUNK)
+    # certify=True: every within-chunk iterate is exact-evaluated on the
+    # host AFTER the run (post-hoc, untimed), so the crossing is certified
+    # at its per-iteration interpolated timestamp instead of deferred to
+    # the chunk boundary — matching the reference's native per-iteration
+    # time resolution
+    trace = alg.run_fused(x0, it_max=OUR_IT_MAX, chunk=CHUNK, certify=True)
     ex_its = list(trace.metrics["exact_its"])
     fs = [float(v) for v in trace.metrics["exact_fs"]]
     it_to_t = dict(zip(trace.its, trace.ts))

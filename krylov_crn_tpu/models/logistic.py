@@ -174,13 +174,16 @@ class LogisticRegression(Oracle):
         if dtype is None:
             dtype = (np.float64 if jax.config.read("jax_enable_x64")
                      else np.float32)
+        self._data = None
+        self._want_dense = want_dense
+        self._dtype = np.dtype(dtype)
         if isinstance(A, ShardedDual):
             # distributed oracle: row-sharded matrix + padded sharded
             # labels. A global jax Array of padded length (produced by
             # parallel.multihost.load_sharded_libsvm) is used as-is —
             # multi-host processes cannot materialize the global raw
             # label vector on one host.
-            self.data = A
+            self._data = A
             if isinstance(b, jax.Array) and b.shape[0] == A.n_padded:
                 self.b = b
             else:
@@ -188,22 +191,41 @@ class LogisticRegression(Oracle):
                 self.b = pad_rowvec(b.astype(dtype), A)
         else:
             if isinstance(A, DualSparse):
-                self.data = (A.astype(dtype) if A.a.vals.dtype != dtype
-                             else A)
+                self._data = (A.astype(dtype) if A.a.vals.dtype != dtype
+                              else A)
             else:
-                self.data = build_dual(A, dtype=dtype, want_dense=want_dense)
-                # retained for Gram-space solvers (one-time K = A A^T build)
+                # device COO/dense data is built LAZILY on first .data
+                # access: Gram-space runs never touch it (they work off
+                # A_host + the device K), and the eager build cost ~1.2 s
+                # of transfer through the relayed transport (measured)
                 import scipy.sparse as sp
 
+                # retained for Gram-space solvers (one-time K = A A^T
+                # build) and as the lazy .data build source
                 self.A_host = (A.tocsr() if sp.issparse(A)
                                else sp.csr_matrix(np.asarray(A)))
             b = canonicalize_labels(np.asarray(b))
             self.b = jnp.asarray(b.astype(dtype))
-        self.n, self.dim = self.data.shape
+        if self._data is not None:
+            self.n, self.dim = self._data.shape
+        else:
+            self.n, self.dim = map(int, self.A_host.shape)
         self.store_mat_vec_prod = store_mat_vec_prod
         self.reuse = False
         self.x_last = None
         self._mat_vec_prod = jnp.zeros(self.b.shape[0], dtype)
+
+    @property
+    def data(self):
+        """Device data pytree (DualSparse/ShardedDual), built on first use."""
+        if self._data is None:
+            self._data = build_dual(self.A_host, dtype=self._dtype,
+                                    want_dense=self._want_dense)
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        self._data = value
 
     # ---- margins cache (parity with loss.py:266-286) ----
     def mat_vec_product(self, x):

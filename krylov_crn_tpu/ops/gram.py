@@ -111,16 +111,87 @@ def _scan_build_K(K, B, R, C, V, F, prec):
     def body(carry, triple):
         K, B = carry
         r, c, v, f = triple
-        B = B.at[r, c.astype(jnp.int32)].add(v)
-        G = jax.lax.dot_general(
-            B, B, (((1,), (1,)), ((), ())), precision=prec)
+        B = B.at[r.astype(jnp.int32), c.astype(jnp.int32)].add(v)
         fK = f.astype(K.dtype)
-        K = K + fK * G
+        K = _panel_accum(K, B, prec, scale=fK)
         B = B * (1.0 - fK)
         return (K, B), ()
 
     (K, B), _ = jax.lax.scan(body, (K, B), (R, C, V, F))
     return K, B
+
+
+def _syrk_split_P(B):
+    """Asymmetric half-Gram P with B @ B^T == P + P^T, for fp32 B, via a
+    3-way bf16 split and ONE stacked bf16 MXU pass of four
+    contraction blocks (vs the SIX passes of ``precision=HIGHEST``).
+
+    B = b1 + b2 + b3, each piece a bf16 truncation of the remainder
+    (non-overlapping ~8-bit mantissa slices; the sum represents B to
+    ~2^-26 elementwise). Expanding B B^T over pieces and grouping by
+    magnitude: (1,1) ~ 1; (1,2)+(2,1) ~ 2^-9; (2,2),(1,3)+(3,1) ~ 2^-18;
+    dropped (2,3),(3,3) ~ 2^-27 — below fp32 resolution. The symmetric
+    sum folds into one asymmetric product:
+
+        P = 0.5*b1 b1^T + 0.5*b2 b2^T + b1 b2^T + b1 b3^T
+          = [b1/2 | b2/2 | b1 | b1] @ [b1 | b2 | b2 | b3]^T
+
+    (halving is exact in bf16 — exponent shift), a SINGLE dot_general
+    with 4-block contraction: four passes of MXU flops, ONE fp32 output
+    materialization, no intermediate G/C buffers (a 4-separate-GEMM
+    variant measured *slower* than HIGHEST — 78.7 vs 64.5 ms/panel —
+    because each extra n_pad^2 fp32 intermediate costs ~2.5 ms of HBM).
+    The caller accumulates K += P + P^T in the same fusion as its K
+    accumulate. Accuracy is fp32-accumulation-bound, same class as
+    HIGHEST (measured vs fp64: K-matvec rel err 1.7e-7 split vs 2.8e-7
+    HIGHEST, tools/measure_splitk.py).
+
+    The splits use ``lax.reduce_precision`` (bf16 = 8 exponent / 7
+    mantissa bits) rather than ``astype`` round-trips: XLA's
+    excess-precision pass (on by default) elides f32->bf16->f32 convert
+    pairs, which silently zeroes the residuals and degrades the product
+    to ONE bf16 pass (measured: elem rel err 3.8e-3 == the pure b1 b1^T
+    error)."""
+    f32 = jnp.float32
+    b1f = jax.lax.reduce_precision(B, 8, 7)
+    r1 = B - b1f  # exact (Sterbenz: b1f within half a bf16 ulp of B)
+    b2f = jax.lax.reduce_precision(r1, 8, 7)
+    r2 = r1 - b2f  # exact
+    b1 = b1f.astype(jnp.bfloat16)  # exact: values are bf16-representable
+    b2 = b2f.astype(jnp.bfloat16)
+    b3 = r2.astype(jnp.bfloat16)
+
+    X = jnp.concatenate([b1 * 0.5, b2 * 0.5, b1, b1], axis=1)
+    Y = jnp.concatenate([b1, b2, b2, b3], axis=1)
+    return jax.lax.dot_general(X, Y, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+
+
+def _syrk_split(B):
+    """B @ B^T for fp32 B at fp32-grade accuracy via the split-K stacked
+    pass (see _syrk_split_P); standalone symmetric form."""
+    P = _syrk_split_P(B)
+    return P + P.T
+
+
+def _use_split(B, prec):
+    return B.dtype == jnp.float32 and prec in (jax.lax.Precision.HIGHEST,
+                                               "highest")
+
+
+def _panel_accum(K, B, prec, scale=None):
+    """K += [scale *] B @ B^T at the requested precision; fp32 inputs at
+    HIGHEST route through the split-K stacked pass (same accuracy class,
+    4 MXU passes instead of 6 — see _syrk_split_P), with the P + P^T
+    symmetrization fused directly into the K accumulate."""
+    if _use_split(B, prec):
+        P = _syrk_split_P(B)
+        if scale is None:
+            return K + P + P.T
+        return K + scale * P + scale * P.T
+    G = jax.lax.dot_general(B, B, (((1,), (1,)), ((), ())),
+                            precision=prec)
+    return K + (G if scale is None else scale * G)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -141,13 +212,12 @@ def _scan_build_K_panels(K, R, C, V, prec, cb):
 
         def scat(B, triple):
             rr, cc, vv = triple
-            return B.at[rr, cc.astype(jnp.int32)].add(vv), ()
+            return B.at[rr.astype(jnp.int32),
+                        cc.astype(jnp.int32)].add(vv), ()
 
         B0 = jnp.zeros((K.shape[0], cb), K.dtype)
         B, _ = jax.lax.scan(scat, B0, (r, c, v))
-        G = jax.lax.dot_general(B, B, (((1,), (1,)), ((), ())),
-                                precision=prec)
-        return K + G, ()
+        return _panel_accum(K, B, prec), ()
 
     K, _ = jax.lax.scan(panel, K, (R, C, V))
     return K
@@ -213,8 +283,11 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     # masked-GEMM stream there (waste factor = padded/actual nnz)
     waste = nblk * inner * chunk_nnz / max(1, int(Acsc.nnz))
     K = jnp.zeros((n_pad, n_pad), dtype)
+    # row indices ride the host->device link (~46 MB/s measured): uint16
+    # when rows fit halves that stream (scatter casts to int32 on device)
+    ridt = np.uint16 if n_pad <= 65535 else np.int32
     if waste <= 2.0:
-        R = np.zeros((nblk, inner * chunk_nnz), np.int32)
+        R = np.zeros((nblk, inner * chunk_nnz), ridt)
         C = np.zeros((nblk, inner * chunk_nnz), np.int16)
         V = np.zeros((nblk, inner * chunk_nnz), dtype)
         for i in range(nblk):
@@ -243,7 +316,7 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     for i in range(nblk):
         c0, c1 = i * cb, min((i + 1) * cb, d)
         s, e = int(Acsc.indptr[c0]), int(Acsc.indptr[c1])
-        rows = Acsc.indices[s:e].astype(np.int32)
+        rows = Acsc.indices[s:e].astype(ridt)
         vals = Acsc.data[s:e].astype(dtype)
         counts = np.diff(Acsc.indptr[c0:c1 + 1])
         colpos = np.repeat(np.arange(c1 - c0, dtype=np.int16), counts)
@@ -251,7 +324,7 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
         nch = max(1, -(-nnzp // chunk_nnz))
         pad = nch * chunk_nnz - nnzp
         # padding entries carry zero values into row 0 / local col 0
-        R_parts.append(np.concatenate([rows, np.zeros(pad, np.int32)]))
+        R_parts.append(np.concatenate([rows, np.zeros(pad, ridt)]))
         C_parts.append(np.concatenate([colpos, np.zeros(pad, np.int16)]))
         V_parts.append(np.concatenate([vals, np.zeros(pad, dtype)]))
         f = np.zeros(nch, bool)
@@ -267,7 +340,7 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     nchunks = R.shape[0]
     pad_ch = (-nchunks) % seg if nchunks > seg else 0
     if pad_ch:
-        R = np.concatenate([R, np.zeros((pad_ch, chunk_nnz), np.int32)])
+        R = np.concatenate([R, np.zeros((pad_ch, chunk_nnz), ridt)])
         C = np.concatenate([C, np.zeros((pad_ch, chunk_nnz), np.int16)])
         V = np.concatenate([V, np.zeros((pad_ch, chunk_nnz), dtype)])
         F = np.concatenate([F, np.zeros(pad_ch, bool)])
@@ -280,6 +353,16 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
                              jnp.asarray(V[s:e]), jnp.asarray(F[s:e]),
                              prec=precision)
     return K
+
+
+@jax.jit
+def _to_bf16(K):
+    return K.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _unpack3(aux):
+    return aux[0], aux[1], aux[2]
 
 
 def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
@@ -344,11 +427,15 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
         # bf16 Lanczos only pays off when fp32 Lanczos would be the
         # bottleneck (fp64 verification runs keep everything exact)
         low_res_lanczos = np.dtype(dtype) == np.float32
-    K_lr = Kd.astype(jnp.bfloat16) if low_res_lanczos else None
+    # jitted (persistently cached) rather than eager .astype: the eager
+    # op compiled per-session at ~1.5 s on this stack (measured) against
+    # ~4 ms of actual HBM traffic
+    K_lr = _to_bf16(Kd) if low_res_lanczos else None
 
-    Ax0_d = jnp.asarray(Ax0)
-    b_d = jnp.asarray(bp)
-    mask_d = jnp.asarray(mask)
+    # ONE packed transfer for the three aux vectors (separate device_puts
+    # cost ~150 ms each through the relayed transport, measured)
+    aux = jnp.asarray(np.stack([Ax0, bp, mask]))
+    Ax0_d, b_d, mask_d = _unpack3(aux)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

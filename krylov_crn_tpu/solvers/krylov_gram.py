@@ -426,22 +426,64 @@ def gram_krylov_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "m", "l2", "beta", "solver_eps",
+    static_argnames=("chunk", "stack_reps", "m", "l2", "beta", "solver_eps",
                      "solver_it_max", "ls_max", "reorth_passes",
                      "accum_dtype", "rederive", "use_lr", "reg_ceil"),
 )
 def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
-                          chunk: int = 16, **kw):
+                          chunk: int = 16, stack_reps: bool = False, **kw):
     """`chunk` iterations in one device program (no host round-trips);
     returns the final state plus per-iteration (value, grad_norm,
-    diff_norm, solver_it) stacks for full-resolution tracing."""
+    diff_norm, solver_it) stacks for full-resolution tracing.
+
+    ``stack_reps`` additionally stacks each iteration's (gamma, zeta)
+    rep — chunk * n_pad * 4 B, ~2.6 MB at n=20k — letting the host
+    exact-evaluate EVERY within-chunk iterate post-hoc (full-resolution
+    fp64-verified curves instead of boundary-only; see run_fused's
+    ``certify`` flag)."""
 
     def body(st, _):
         st2 = gram_krylov_step(gd, st, **kw)
-        return st2, ((st2.value, st2.value_lo), st2.grad_norm,
-                     st2.diff_norm, st2.solver_it)
+        out = ((st2.value, st2.value_lo), st2.grad_norm,
+               st2.diff_norm, st2.solver_it)
+        if stack_reps:
+            out = out + ((st2.gamma, st2.zeta),)
+        return st2, out
 
     return jax.lax.scan(body, state, None, length=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("npad", "vdt"))
+def _init_state_packed(Ax0, buf, npad, vdt):
+    """Construct the initial GramKrylovState from ONE packed host buffer
+    [Ax_lo; w_g; uK; value_hi, value_lo, reg_coef] — separate device_puts
+    cost ~150 ms each through the relayed transport (measured), and the
+    zeros/constants are created on device inside this program.
+
+    ``vdt`` is the state's value dtype (the accum dtype: fp64 under x64
+    verification runs, else the storage dtype). The buffer carries the
+    value as a storage-dtype two-float pair; when vdt is wider the pair
+    collapses into one exact wide scalar (hi + lo recovers the fp64
+    value to pair precision) with lo = 0, matching the step's carry
+    types."""
+    cdt = Ax0.dtype
+    Ax_lo, w0, uK0 = buf[:npad], buf[npad:2 * npad], buf[2 * npad:3 * npad]
+    s = buf[3 * npad:3 * npad + 3]
+    if jnp.dtype(vdt) == cdt:
+        value, value_lo = s[0], s[1]
+    else:
+        value = s[0].astype(vdt) + s[1].astype(vdt)
+        value_lo = jnp.zeros((), vdt)
+    zero = jnp.zeros((), cdt)
+    return GramKrylovState(
+        gamma=jnp.ones((), cdt), zeta=jnp.zeros(npad, cdt),
+        Ax=Ax0, Ax_lo=Ax_lo, w_g=w0, uK=uK0,
+        value=value, value_lo=value_lo,
+        reg_coef=s[2], r0=jnp.asarray(0.1, cdt),
+        solver_it=jnp.zeros((), jnp.int32),
+        diff_norm=zero + jnp.inf, grad_norm=zero + jnp.inf,
+        f_best=value, f_best_lo=value_lo,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("npad", "full"))
@@ -503,12 +545,21 @@ class RepMaterializer:
         self.loss = loss
 
     def __call__(self, ck):
-        from krylov_crn_tpu.ops.spmv import rmatvec
-
         if self.loss is None:
             raise ValueError(
                 "RepMaterializer has no loss attached; load the trace via "
                 "Trace.from_pickle(path, loss=...) to materialize iterates")
+        A = getattr(self.loss, "A_host", None)
+        if A is not None:
+            # host sparse transpose SpMV (~ms): avoids building the
+            # device COO pytree just to materialize a checkpoint (the
+            # loss builds its device data lazily; a Gram run otherwise
+            # never needs it)
+            z = np.asarray(ck.zeta, np.float64)[: A.shape[0]]
+            x = float(ck.gamma) * self.x0 + A.T.dot(z)
+            return jnp.asarray(x.astype(np.asarray(ck.zeta).dtype))
+        from krylov_crn_tpu.ops.spmv import rmatvec
+
         data = self.loss.data
         z = jnp.asarray(ck.zeta)[: data.n]
         at = rmatvec(data, z.astype(self.loss.b.dtype))
@@ -607,8 +658,6 @@ class GramKrylov(Optimizer):
         cdt = jnp.dtype(dtype)
         npad = self.gd.n_padded
         adt = _accum_dtype(cdt)
-        zeta = jnp.zeros(npad, cdt)
-        gamma = jnp.asarray(1.0, cdt)
         # exact fp64 margins pair + initial gradient image (w_g, uK) on
         # the host (three sparse SpMVs, one-time): seeds the incremental
         # invariants exactly instead of with a device matvec's noise
@@ -620,14 +669,6 @@ class GramKrylov(Optimizer):
         w64 = (expit(m64) - b64) / n_real  # zeta = 0: no l2 term yet
         uK64 = A.dot(A.T.dot(w64))
         Ax = self.gd.Ax0
-        Ax_lo = np.zeros(npad, dtype)
-        Ax_lo[:n_real] = (m64 - np.asarray(Ax, np.float64)[:n_real]
-                          ).astype(dtype)
-        w0 = np.zeros(npad, dtype)
-        w0[:n_real] = w64.astype(dtype)
-        uK0 = np.zeros(npad, dtype)
-        uK0[:n_real] = uK64.astype(dtype)
-        Ax_lo = _dev_like(Ax_lo, Ax)
         # initial f exactly in host fp64 (the margins m64 are already
         # exact): no eager device reductions at init — each eager op is
         # a compile + a relay dispatch
@@ -636,22 +677,23 @@ class GramKrylov(Optimizer):
         value64 = float(np.mean((1.0 - b64) * m64 - ls))
         if loss.l2:
             value64 += 0.5 * loss.l2 * float(x0h @ x0h)
-        vdt = np.dtype(adt)
-        value = jnp.asarray(vdt.type(value64))
-        value_lo = jnp.asarray(vdt.type(value64 - float(vdt.type(value64))))
+        # ONE packed transfer + one jitted constructor (separate
+        # device_puts measured at ~150 ms each through the relay); the
+        # value rides as a storage-dtype two-float pair and is collapsed
+        # to the accum dtype in-program (_init_state_packed)
+        cd = np.dtype(dtype)
+        vhi = cd.type(value64)
+        buf = np.zeros(3 * npad + 3, dtype)
+        buf[:n_real] = (m64 - np.asarray(Ax, np.float64)[:n_real]
+                        ).astype(dtype)
+        buf[npad:npad + n_real] = w64.astype(dtype)
+        buf[2 * npad:2 * npad + n_real] = uK64.astype(dtype)
+        buf[3 * npad:3 * npad + 3] = (vhi, cd.type(value64 - float(vhi)),
+                                      self.reg_coef)
         self.loss.reset()
         self.trace.solver_its = [0]
-        return GramKrylovState(
-            gamma=gamma, zeta=zeta, Ax=Ax, Ax_lo=Ax_lo,
-            w_g=_dev_like(w0, Ax), uK=_dev_like(uK0, Ax),
-            value=value, value_lo=value_lo,
-            reg_coef=jnp.asarray(self.reg_coef, cdt),
-            r0=jnp.asarray(0.1, cdt),
-            solver_it=jnp.asarray(0, jnp.int32),
-            diff_norm=jnp.asarray(jnp.inf, cdt),
-            grad_norm=jnp.asarray(jnp.inf, cdt),
-            f_best=value, f_best_lo=value_lo,
-        )
+        return _init_state_packed(Ax, _dev_like(buf, Ax), npad,
+                                  jnp.dtype(adt))
 
     def step(self):
         self.state = gram_krylov_step(
@@ -669,10 +711,7 @@ class GramKrylov(Optimizer):
     def update_trace(self):
         st = self.state
         adt = _accum_dtype(st.zeta.dtype)
-        ck = GramCheckpoint(
-            gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
-            x_sqnorm=_x_sqnorm(self.gd, st.gamma, st.zeta, st.Ax, adt),
-        )
+        ck = _checkpoint_of(self.gd, st, adt)
         self.trace.xs.append(ck)
         self.trace.ts.append(self.t)
         self.trace.its.append(self.it)
@@ -681,12 +720,11 @@ class GramKrylov(Optimizer):
     def init_run(self, x0, seed):
         super().init_run(x0, seed)
         # replace the base class's raw-x0 first checkpoint with a rep
+        # (jitted _checkpoint_of: the eager op-by-op x_sqnorm costs a
+        # relay dispatch per op)
         st = self.state
         adt = _accum_dtype(st.zeta.dtype)
-        self.trace.xs = [GramCheckpoint(
-            gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
-            x_sqnorm=_x_sqnorm(self.gd, st.gamma, st.zeta, st.Ax, adt),
-        )]
+        self.trace.xs = [_checkpoint_of(self.gd, st, adt)]
         # checkpoints are reps; plotting/analysis that needs explicit
         # iterates converts through this (one transpose SpMV each); the
         # converter is picklable and survives Trace.save/from_pickle
@@ -793,7 +831,7 @@ class GramKrylov(Optimizer):
         return value64
 
     def run_fused(self, x0, it_max, t_max=np.inf, chunk=16, seed=42,
-                  exact_correction=True):
+                  exact_correction=True, certify=False):
         """Device-fused run: `chunk` iterations per dispatch (lax.scan),
         host sync only at chunk boundaries. Produces a *full-resolution*
         loss-vs-iteration trace (the reference can only subsample,
@@ -845,6 +883,8 @@ class GramKrylov(Optimizer):
             # rollback and the exact f the rejected chunk produced
             metrics.setdefault("rollback_its", [])
             metrics.setdefault("rollback_fs", [])
+        cert = bool(certify) and exact
+        cert_stacks = []  # (first_it, gammas, zetas) of accepted chunks
         t_start = _time.perf_counter()
         t_prev = 0.0
         n_real = self.gd.n
@@ -864,9 +904,11 @@ class GramKrylov(Optimizer):
             # fresh matvec rounding into the committed value each
             # iteration; the exact boundary correction (fp32 runs)
             # additionally zeroes inter-chunk drift.
-            self.state, (vpairs, gns, dns, sits) = gram_krylov_multistep(
+            self.state, outs = gram_krylov_multistep(
                 self.gd, self.state, chunk=k, rederive=False,
-                use_lr=self._use_lr, **kw)
+                use_lr=self._use_lr, stack_reps=cert, **kw)
+            vpairs, gns, dns, sits = outs[:4]
+            reps = outs[4] if cert else None
             # ONE bundled host fetch per chunk: every separate fetch is a
             # ~40 ms relay round trip (measured — five fetches plus the
             # correction's two cost ~0.3 s/chunk, dominating small runs)
@@ -874,6 +916,8 @@ class GramKrylov(Optimizer):
             if exact:
                 fetch += (self.state.gamma, self.state.zeta,
                           self.state.reg_coef, self.state.r0)
+            if cert:
+                fetch += reps
             got = jax.device_get(fetch)
             now = _time.perf_counter() - t_start
             vals = (np.asarray(got[0], np.float64)
@@ -911,7 +955,13 @@ class GramKrylov(Optimizer):
                         if rejects_at_1 >= 6:
                             break
                     else:
-                        chunk_cur = max(1, k // 2)
+                        # drop straight to single-iteration verification:
+                        # every DISTINCT scan length compiles its own
+                        # multistep program (~2-7 s each on this stack,
+                        # measured), so a halving ladder (8, 4, 2, ...)
+                        # burns more wall clock in compiles than the
+                        # iterations it saves
+                        chunk_cur = 1
                     # retry reg policy: RESET to the base scale (the
                     # dominant failure mode near the fp32 floor is
                     # reg inflated so high that genuine decreases fall
@@ -928,7 +978,7 @@ class GramKrylov(Optimizer):
                         break
                     continue
                 rejects_at_1 = 0
-                chunk_cur = min(chunk, chunk_cur * 2)
+                chunk_cur = chunk
                 snap = dict(gamma=gamma_h, zeta=zeta_h.copy(),
                             reg=float(got[7]), r0=float(got[8]),
                             solver_it=int(sits[k - 1]), f=value64)
@@ -947,6 +997,10 @@ class GramKrylov(Optimizer):
                 self.trace.loss_vals[-1] = value64
                 metrics["exact_its"].append(self.it)
                 metrics["exact_fs"].append(value64)
+            if cert:
+                g_arr = np.asarray(got[-2], np.float64)[:k]
+                z_arr = np.asarray(got[-1], np.float64)[:k, :n_real]
+                cert_stacks.append((self.it - k + 1, g_arr, z_arr))
             t_prev = now
             self.t = now
             # checkpoint the rep at chunk boundaries (for materialization)
@@ -956,6 +1010,8 @@ class GramKrylov(Optimizer):
                 break
             if now >= t_max:
                 break
+        if cert and cert_stacks:
+            self._certify_stacks(cert_stacks, metrics)
         self.trace.loss_vals = np.asarray(self.trace.loss_vals)
         if exact:
             f_best = self._f_best_exact
@@ -967,6 +1023,46 @@ class GramKrylov(Optimizer):
         self.initialized = False
         self.finished_seeds.append(seed)
         return self.trace
+
+    def _certify_stacks(self, cert_stacks, metrics):
+        """Post-run exact fp64 host evaluation of EVERY stacked iterate
+        (run_fused ``certify=True``): upgrades the exact_its/exact_fs
+        series from chunk-boundary resolution to full per-iteration
+        resolution — each value computed from the committed (gamma, zeta)
+        rep through the sparse host matrix, the same ground-truth path as
+        the chunk-boundary corrections. Runs AFTER the timed loop: two
+        host SpMVs per iterate (~15 ms at rcv1 scale) would otherwise
+        inflate every chunk.
+
+        The trace's interpolated within-chunk timestamps are unchanged —
+        this refines the VALUES at those timestamps, so a crossing that
+        happened mid-chunk is certified at its interpolated time instead
+        of being deferred to the boundary (the reference records
+        per-iteration times natively; boundary-only detection
+        under-reports our crossing by up to one chunk)."""
+        A = self.loss.A_host
+        exact_its, exact_fs = [], []
+        for first_it, gammas, zetas in cert_stacks:
+            for j in range(len(gammas)):
+                it = first_it + j
+                t = A.T.dot(zetas[j])
+                margins = gammas[j] * self._Ax0_64 + A.dot(t)
+                ls = np.where(margins < 0,
+                              margins - np.log1p(np.exp(margins)),
+                              -np.log1p(np.exp(-margins)))
+                v64 = float(np.mean((1.0 - self._b01_64) * margins - ls))
+                if self.loss.l2:
+                    x = (gammas[j] * np.asarray(self._x0_host, np.float64)
+                         + t)
+                    v64 += 0.5 * self.loss.l2 * float(x @ x)
+                exact_its.append(it)
+                exact_fs.append(v64)
+                # the full-resolution trace entry becomes ground truth
+                if it < len(self.trace.loss_vals):
+                    self.trace.loss_vals[it] = v64
+                self._f_best_exact = min(self._f_best_exact, v64)
+        metrics["exact_its"] = exact_its
+        metrics["exact_fs"] = exact_fs
 
     def update_trace_checkpoint_only(self):
         adt = _accum_dtype(self.state.zeta.dtype)
