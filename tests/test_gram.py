@@ -180,3 +180,59 @@ def test_candidate_df_extreme_margins_fp32():
     want = f64(margins + incs) - f64(margins)
     # fp32 difference-form: accurate relative to the CHANGE
     assert abs(got - want) < 1e-5 * max(1.0, abs(want))
+
+
+def test_build_gram_fused_matches_plain(gram_problem):
+    """The fused build+finalize+init path (one device program) must
+    produce the same GramData and initial state as the plain
+    build_gram + _init_state_packed route."""
+    import jax
+
+    from krylov_crn_tpu.ops.gram import build_gram_fused
+    from krylov_crn_tpu.models.logistic import LogisticRegression
+    from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
+
+    A, b, x0 = gram_problem
+    n = A.shape[0]
+    dtype = np.float64
+    loss = LogisticRegression(A, b, dtype=dtype)
+    alg = GramKrylov(loss=loss, reg_coef=1e-3, tqdm=False, label="g")
+    st_plain = alg.init_state(jnp.asarray(x0, dtype), 0)
+    gd_plain = alg.gd
+
+    # reconstruct the same init buffer the solver built
+    from scipy.special import expit
+
+    npad = gd_plain.n_padded
+    x0h = np.asarray(x0, np.float64)
+    m64 = loss.A_host.dot(x0h)
+    b64 = np.asarray(loss.b, np.float64)[:n]
+    w64 = (expit(m64) - b64) / n
+    uK64 = loss.A_host.dot(loss.A_host.T.dot(w64))
+    ls = np.where(m64 < 0, m64 - np.log1p(np.exp(m64)),
+                  -np.log1p(np.exp(-m64)))
+    v64 = float(np.mean((1.0 - b64) * m64 - ls))
+    buf = np.zeros(3 * npad + 3, dtype)
+    buf[:n] = (m64 - m64.astype(dtype).astype(np.float64)).astype(dtype)
+    buf[npad:npad + n] = w64.astype(dtype)
+    buf[2 * npad:2 * npad + n] = uK64.astype(dtype)
+    cd = np.dtype(dtype)
+    vhi = cd.type(v64)
+    buf[3 * npad:3 * npad + 3] = (vhi, cd.type(v64 - float(vhi)), 1e-3)
+
+    for seg_p in (64, 2):  # single-program path and the segmented path
+        gd_f, flat = build_gram_fused(loss.A_host, np.asarray(loss.b)[:n],
+                                      x0h, buf, dtype, jnp.dtype(dtype),
+                                      seg_p=seg_p)
+        # different panel decompositions change fp64 addition order
+        np.testing.assert_allclose(np.asarray(gd_f.K),
+                                   np.asarray(gd_plain.K), rtol=1e-10,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gd_f.Ax0),
+                                   np.asarray(gd_plain.Ax0), rtol=1e-12)
+        st_f = type(st_plain)(*flat)
+        for name in st_plain._fields:
+            a = np.asarray(getattr(st_f, name))
+            bb = np.asarray(getattr(st_plain, name))
+            np.testing.assert_allclose(a, bb, rtol=1e-12, atol=0,
+                                       err_msg=name)

@@ -87,62 +87,95 @@ def coo_path():
     }
 
 
-def gram_path(n=2048, m=10):
-    """Row-sharded-K Gram step: collectives per full Krylov-CRN iteration
-    ((m+2) K-matvecs; GSPMD all-gathers each matvec's n/D-local output)."""
-    from jax.sharding import Mesh
+def gram_path(n_pad=20480, m=10):
+    """Row-sharded-K Gram step lowered AT THE BENCH SHAPE (n_pad=20480,
+    the rcv1/news20 row count): collectives per full Krylov-CRN
+    iteration ((m+2) K-matvecs; GSPMD all-gathers each matvec's
+    n/D-local output).
 
-    from krylov_crn_tpu.models.logistic import LogisticRegression
+    The round-3 version lowered an n_pad=2048 toy and extrapolated; this
+    lowers the real shape via abstract ShapeDtypeStructs with attached
+    shardings — GSPMD partitioning happens at compile time, so no
+    20480^2 buffers are materialized."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from krylov_crn_tpu.ops.gram import GramData
     from krylov_crn_tpu.parallel.mesh import DATA_AXIS
     from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
     from krylov_crn_tpu.solvers.krylov_gram import (
-        GramKrylov,
+        GramKrylovState,
         gram_krylov_step,
     )
-    from krylov_crn_tpu.data.synthetic import synthetic_logreg
 
-    A, b = synthetic_logreg((n, 2 * n, 16 * n), seed=7)
     mesh = Mesh(np.array(jax.devices()[:8]), (DATA_AXIS,))
-    loss = LogisticRegression(A, b, dtype=np.float32, want_dense=False)
-    alg = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=m, tolerance=0,
-                     tqdm=False, label="mesh", mesh=mesh)
-    st0 = alg.init_state(jnp.ones(A.shape[1], jnp.float32) * 0.5, 0)
+    row = NamedSharding(mesh, P(DATA_AXIS, None))
+    repl = NamedSharding(mesh, P())
+    f32 = jnp.float32
+
+    def S(shape, dtype=f32, sh=repl):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
+
+    n = n_pad - 238  # mimic rcv1-like padding (20242 -> 20480)
+    gd = GramData(
+        K=S((n_pad, n_pad), sh=row), Ax0=S((n_pad,)), b=S((n_pad,)),
+        mask=S((n_pad,)), x0_sqnorm=S(()),
+        K_lr=S((n_pad, n_pad), jnp.bfloat16, sh=row),
+        n=n, d=47236, nnz=1498952)
+    vec = S((n_pad,))
+    st0 = GramKrylovState(
+        gamma=S(()), zeta=vec, Ax=vec, Ax_lo=vec, w_g=vec, uK=vec,
+        value=S(()), value_lo=S(()), reg_coef=S(()), r0=S(()),
+        solver_it=S((), jnp.int32), diff_norm=S(()), grad_norm=S(()),
+        f_best=S(()), f_best_lo=S(()))
     kw = dict(m=m, l2=0.0, beta=0.5, solver_eps=1e-8, solver_it_max=100,
               ls_max=20, reorth_passes=1,
-              accum_dtype=_accum_dtype(jnp.float32), rederive=False,
+              accum_dtype=_accum_dtype(f32), rederive=False,
               use_lr=False)
-    lowered = gram_krylov_step.lower(alg.gd, st0, **kw)
+    lowered = gram_krylov_step.lower(gd, st0, **kw)
     hlo = lowered.compile().as_text()
     stc = collective_stats(hlo)
-    npad = alg.gd.n_padded
     return {
-        "program": f"gram_krylov_step (row-sharded K, n_pad={npad}, m={m})",
+        "program": f"gram_krylov_step (row-sharded K, n_pad={n_pad}, "
+                   f"m={m}, bench shape)",
         "collectives": stc,
-        "local_K_bytes_per_device_per_matvec": npad * npad * 4 // 8,
+        "local_K_bytes_per_device_per_matvec": n_pad * n_pad * 4 // 8,
         "matvecs_per_iteration": m + 2,
     }
 
 
 def projection(coo, gram):
-    """Analytic 2-host scaling projection from measured single-chip rates.
+    """Analytic 2-host scaling projection from measured single-chip rates
+    and the FULL per-iteration collective footprint of the bench-shape
+    HLO (round-3 verdict: the earlier projection modeled only the
+    all-gather of one matvec and dropped the 52 collective-permutes and
+    the all-reduce).
 
     Rates: dense K-matvec 702 GB/s HBM (PERF.md measured); ICI ~45 GB/s
     per direction (v5e), DCN ~25 GB/s per host (public TPU v5e specs).
-    Efficiency = T_local / (T_local + T_collective) per matvec, with the
-    all-gather riding ICI within a slice and DCN across hosts.
+    Efficiency = T_local / (T_local + T_collective) per full solver
+    iteration. First-order model: each collective costs
+    payload_bytes / link_bw + a 20 us latency floor; payloads are the
+    logical HLO shapes (a ring all-gather moves (D-1)/D of that per
+    link — the model is conservative by the missing 1/D).
     """
-    n = 20480  # rcv1/news20-shaped rows
+    n = 20480  # rcv1/news20-shaped rows (bench shape)
     hbm = 702e9
+    m_plus2 = gram["matvecs_per_iteration"]
+    stc = gram["collectives"]
+    total_count = sum(v["count"] for v in stc.values())
+    total_bytes = sum(v["bytes"] for v in stc.values())
     for D, link_bw, link in ((8, 45e9, "ici"), (16, 25e9, "dcn-2hosts")):
-        t_local = (n * n * 4 / D) / hbm
-        t_coll = (n * 4) / link_bw + 20e-6  # payload + latency floor
+        t_local = m_plus2 * (n * n * 4 / D) / hbm
+        t_coll = total_bytes / link_bw + total_count * 20e-6
         eff = t_local / (t_local + t_coll)
         yield {
             "devices": D,
             "link": link,
-            "t_local_us": round(t_local * 1e6, 1),
-            "t_collective_us": round(t_coll * 1e6, 1),
-            "gram_matvec_efficiency": round(eff, 3),
+            "t_local_iter_us": round(t_local * 1e6, 1),
+            "t_collective_iter_us": round(t_coll * 1e6, 1),
+            "collective_count_per_iter": total_count,
+            "collective_bytes_per_iter": total_bytes,
+            "gram_iteration_efficiency": round(eff, 3),
         }
 
 
