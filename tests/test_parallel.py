@@ -169,3 +169,57 @@ def test_one_psum_per_hvp(sparse_problem, mesh):
     v = jnp.ones((sd.d,), jnp.float32)
     hlo = jax.jit(lambda w, v: hvp_sparse(sd, w, v)).lower(w, v).compile().as_text()
     assert len(re.findall(r" all-reduce\(", hlo)) == 1
+
+
+def test_gram_step_collective_budget(mesh):
+    """Collective budget of the row-sharded-K Gram step (scaling story,
+    artifacts/scaling/collectives.json): every K-matvec costs exactly one
+    all-gather of its n/D-local output — (m+2) matvecs plus the Lanczos
+    stacked-dot combines and one line-search combine bound the
+    all-gather count at m+7 (measured: 17 at m=10). All-reduces must all
+    be scalar/small combines (compensated-reduction pair merges, the
+    largest a f32[ls_max+1]): an all-reduce of an n-sized vector would
+    mean a lost-sharding regression that re-reduces bulk data. Lowered abstractly at a
+    reduced n so the CPU-mesh compile stays fast; the count structure is
+    shape-independent."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from krylov_crn_tpu.ops.gram import GramData
+    from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
+    from krylov_crn_tpu.solvers.krylov_gram import (
+        GramKrylovState,
+        gram_krylov_step,
+    )
+
+    m = 10
+    n_pad = 2048
+    row = NamedSharding(mesh, P("data", None))
+    repl = NamedSharding(mesh, P())
+    f32 = jnp.float32
+
+    def S(shape, dtype=f32, sh=repl):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
+
+    gd = GramData(K=S((n_pad, n_pad), sh=row), Ax0=S((n_pad,)),
+                  b=S((n_pad,)), mask=S((n_pad,)), x0_sqnorm=S(()),
+                  K_lr=None, n=n_pad - 100, d=2 * n_pad, nnz=16 * n_pad)
+    vec = S((n_pad,))
+    st = GramKrylovState(
+        gamma=S(()), zeta=vec, Ax=vec, Ax_lo=vec, w_g=vec, uK=vec,
+        value=S(()), value_lo=S(()), reg_coef=S(()), r0=S(()),
+        solver_it=S((), jnp.int32), diff_norm=S(()), grad_norm=S(()),
+        f_best=S(()), f_best_lo=S(()))
+    hlo = gram_krylov_step.lower(
+        gd, st, m=m, l2=0.0, beta=0.5, solver_eps=1e-8, solver_it_max=100,
+        ls_max=20, reorth_passes=1, accum_dtype=_accum_dtype(f32),
+        rederive=False, use_lr=False).compile().as_text()
+    n_ag = len(re.findall(r" all-gather\(", hlo))
+    assert n_ag <= m + 7, f"all-gather count regressed: {n_ag} > {m + 7}"
+    # every all-reduce payload dimension must be small (scalar combines)
+    big = [dims for dims in re.findall(r"= \w+\[([0-9,]+)\][^ ]* all-reduce\(", hlo)
+           if max(int(d) for d in dims.split(",")) >= 1024]
+    assert not big, f"bulk-vector all-reduces appeared: {big}"

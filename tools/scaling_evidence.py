@@ -32,22 +32,40 @@ import numpy as np
 
 
 def collective_stats(hlo_text: str):
-    """Count collectives and their payload bytes in optimized HLO."""
+    """Count collectives and their payload bytes in optimized HLO.
+
+    Handles both single-shape results (``= f32[47240]{0} all-reduce(``)
+    and TUPLE results (``= (f32[], f32[]) all-reduce(``) — compensated
+    (hi, lo) pair reductions lower to tuple-shaped all-reduces which a
+    single-shape regex silently drops (round-3's "1 all-reduce per Gram
+    step" was exactly this undercount; the true count is ~19, all
+    scalar/small combines)."""
     stats = {}
-    # e.g.  %all-reduce.1 = f32[47240]{0} all-reduce(...)
     pat = re.compile(
-        r"= (\w+\[[0-9,]*\][^ ]*) (all-reduce|all-gather|"
+        r"= (\([^)]*\)|\w+\[[0-9,]*\][^ ]*) (all-reduce|all-gather|"
         r"reduce-scatter|collective-permute|all-to-all)\(")
     dt_bytes = {"f32": 4, "bf16": 2, "f64": 8, "s32": 4, "u32": 4,
                 "pred": 1, "f16": 2, "s64": 8}
-    for shape, op in pat.findall(hlo_text):
-        m = re.match(r"(\w+?)\[([0-9,]*)\]", shape)
+
+    def shape_bytes(sh):
+        m = re.match(r"(\w+?)\[([0-9,]*)\]", sh)
+        if m is None:
+            return 0
         dt, dims = m.group(1), m.group(2)
         elems = 1
         for d in dims.split(","):
             if d:
                 elems *= int(d)
-        b = elems * dt_bytes.get(dt, 4)
+        return elems * dt_bytes.get(dt, 4)
+
+    for shape, op in pat.findall(hlo_text):
+        if shape.startswith("("):
+            # tuple result: sum the component shapes (dims contain ","
+            # too, so find bracketed pieces instead of splitting)
+            b = sum(shape_bytes(p) for p in
+                    re.findall(r"\w+\[[0-9,]*\][^ ,)]*", shape))
+        else:
+            b = shape_bytes(shape)
         ent = stats.setdefault(op, {"count": 0, "bytes": 0})
         ent["count"] += 1
         ent["bytes"] += b
@@ -164,18 +182,28 @@ def projection(coo, gram):
     stc = gram["collectives"]
     total_count = sum(v["count"] for v in stc.values())
     total_bytes = sum(v["bytes"] for v in stc.values())
-    for D, link_bw, link in ((8, 45e9, "ici"), (16, 25e9, "dcn-2hosts")):
+    # COO fused-HVP path — the BASELINE.md:29 ">=70% nnz/s at 2+ hosts"
+    # metric applies to THIS path: one d-vector psum per HVP against the
+    # measured 62 Mnnz/s/chip gather-bound compute (PERF.md stress-1m).
+    nnz_per_chip = 125e6  # stress-10m, 1B nnz / 8 chips
+    t_hvp = nnz_per_chip / 61.6e6  # measured per-chip fused HVP rate
+    for D, link_bw, lat, link in ((8, 45e9, 2e-6, "ici"),
+                                  (16, 25e9, 20e-6, "dcn-2hosts")):
         t_local = m_plus2 * (n * n * 4 / D) / hbm
-        t_coll = total_bytes / link_bw + total_count * 20e-6
+        t_coll = total_bytes / link_bw + total_count * lat
         eff = t_local / (t_local + t_coll)
+        d_bytes = 10_000_000 * 4  # stress-10m d-vector
+        coo_eff = t_hvp / (t_hvp + d_bytes / link_bw + lat)
         yield {
             "devices": D,
             "link": link,
+            "link_latency_us": lat * 1e6,
             "t_local_iter_us": round(t_local * 1e6, 1),
             "t_collective_iter_us": round(t_coll * 1e6, 1),
             "collective_count_per_iter": total_count,
             "collective_bytes_per_iter": total_bytes,
             "gram_iteration_efficiency": round(eff, 3),
+            "coo_hvp_efficiency_stress10m": round(coo_eff, 3),
         }
 
 
