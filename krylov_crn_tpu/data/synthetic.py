@@ -18,7 +18,14 @@ __all__ = ["random_sparse", "powerlaw_sparse", "clustered_sparse",
 # cached f*/gap values are only comparable within one problem version
 # (advisor round-2 finding: silent generator changes invalidated
 # cross-commit comparisons). v3 = topic-model rows for rcv1/news20-like.
-PROBLEM_VERSION = 3
+# v4 = topic-covering conflict twins: round-4 diagnosis (trust-ncg probe,
+# tools/tune_standin.py) showed v3's RANDOM conflict twins left rowspace
+# directions without any strictly-convex anchor — the l2=0 optimum was an
+# effectively-unattained infimum ~2e-5 below every solver's floor
+# (||x||_ncg grew without bound at fixed max-margin 7.1). v4 plants one
+# conflicting twin per TOPIC, closing every direction of the rank-R row
+# space; the optimum is attained and solver floors meet it.
+PROBLEM_VERSION = 4
 
 # (n, d, nnz) mimicking the reference's LIBSVM datasets, plus the
 # BASELINE.json power-law stress configs (BASELINE.md:31). The 10M/1B
@@ -172,7 +179,7 @@ def topic_sparse(n, d, nnz, R=300, n_clusters=20, topics_per_row=3,
                        (np.concatenate(rows_i), np.concatenate(cols_i))),
                       shape=(n, d)).tocsr()
     A.sum_duplicates()
-    return A.astype(dtype), row_cl
+    return A.astype(dtype), row_cl, topic_choice
 
 
 # per-dataset topic-model parameters (tuned against the reference's
@@ -251,7 +258,8 @@ def synthetic_logreg(name_or_shape, seed=0, dtype=np.float32, profile=None,
         # shapes should pass topic_params with a suitable R.
         tp = (TOPIC_PARAMS.get(name, {}) if topic_params is None
               else topic_params)
-        A, row_cl = topic_sparse(n, d, nnz, seed=seed, dtype=dtype, **tp)
+        A, row_cl, topic_choice = topic_sparse(n, d, nnz, seed=seed,
+                                               dtype=dtype, **tp)
     elif profile == "clustered":
         A, row_cl = clustered_sparse(n, d, nnz, seed=seed, dtype=dtype)
     else:
@@ -299,8 +307,28 @@ def synthetic_logreg(name_or_shape, seed=0, dtype=np.float32, profile=None,
     if k > 0:
         import scipy.sparse as sp
 
-        idx = rng.choice(n, size=2 * k, replace=False)
-        src, dst = idx[:k], idx[k:]
+        if topic:
+            # stratified conflict sources: every TOPIC is contained in at
+            # least one conflicted twin, so each direction of the rank-R
+            # row space sees a strictly convex loss term and the l2=0
+            # optimum is ATTAINED (v3's random twins left uncovered
+            # directions: an effectively-unattained infimum ~2e-5 below
+            # every solver's floor — see PROBLEM_VERSION note)
+            R_eff = int(topic_choice.max()) + 1
+            perm = rng.permutation(n)
+            flat_topics = topic_choice[perm].ravel()
+            flat_rows = np.repeat(perm, topic_choice.shape[1])
+            _, first = np.unique(flat_topics, return_index=True)
+            cover = np.unique(flat_rows[first])
+            k = max(k, len(cover))
+            pool = np.setdiff1d(np.arange(n), cover)
+            extra = rng.choice(pool, size=2 * k - len(cover),
+                               replace=False)
+            src = np.concatenate([cover, extra[: k - len(cover)]])
+            dst = extra[k - len(cover):]
+        else:
+            idx = rng.choice(n, size=2 * k, replace=False)
+            src, dst = idx[:k], idx[k:]
         coo = A.tocoo()
         keep = ~np.isin(coo.row, dst)
         starts = A.indptr[src]

@@ -109,16 +109,19 @@ def run_ours(A, b, x0, it_max, sscn_dims, dtype, leg):
         curves["CRN"] = curve_of(crn.trace)
         gd = getattr(crn, "gd", None)
 
+        # certify=True: every iterate exact-evaluated post-run, so the
+        # committed curves are fp64-verified at FULL per-iteration
+        # resolution (round-3 verdict: boundary-only exact points)
         kry = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=10,
                          tolerance=0, tqdm=False, label="Krylov CRN (m=10)",
                          gram_data=gd)
-        tr = kry.run_fused(x0, it_max=it_max)
+        tr = kry.run_fused(x0, it_max=it_max, certify=True)
         curves["Krylov CRN (m=10)"] = curve_of(tr)
 
         bench = GramKrylov(loss=loss, reg_coef=1e-3, subspace_dim=20,
                            tolerance=0, tqdm=False, label="bench",
                            gram_data=kry.gd)
-        btr = bench.run_fused(x0, it_max=5 * it_max)
+        btr = bench.run_fused(x0, it_max=5 * it_max, certify=True)
         curves["Benchmark Krylov CRN (m=20)"] = curve_of(btr)
     else:
         from krylov_crn_tpu.solvers import CubicKrylov, CubicNewton
