@@ -579,7 +579,7 @@ class GramKrylov(Optimizer):
     def __init__(self, reg_coef=None, subspace_dim=100, solver_eps=1e-8,
                  beta=0.5, solver_it_max=100, ls_max=20, reorth_passes=1,
                  cache_dir=None, mesh=None, fp32_tail_rtol=1e-3,
-                 gram_data=None, *args, **kwargs):
+                 gram_data=None, bf16_head=False, *args, **kwargs):
         super().__init__(*args, **kwargs)
         # a pre-built GramData skips the one-time K build (must have been
         # built with the same A and the same x0 — checked in init_state)
@@ -592,12 +592,18 @@ class GramKrylov(Optimizer):
         self.reorth_passes = int(reorth_passes)
         self.cache_dir = cache_dir
         self.mesh = mesh
-        # bf16-Lanczos runs switch to the full-precision K once the
-        # gradient norm has dropped by this factor: bf16 subspace noise
-        # stalls the final gap at ~1e-7 (measured), fp32 reaches ~1e-9
+        # ``bf16_head``: start Lanczos on a bf16 copy of K (half the HBM
+        # traffic per matvec) and switch to the fp32 K once the gradient
+        # norm has dropped by fp32_tail_rtol. Default OFF (round-4
+        # measurement, PROBLEM_VERSION 4 rcv1-like): the bf16 subspace
+        # makes no progress on low-curvature directions, pushing the
+        # 1e-8 crossing from iteration 33 to 57 — the ~40%/matvec
+        # bandwidth saving lost 2.8x of wall clock. Worthwhile only on
+        # spectra the head phase fully resolves (news20-like: ~0.15 s).
+        self.bf16_head = bool(bf16_head)
         self.fp32_tail_rtol = float(fp32_tail_rtol)
         self._gn_first = None
-        self._use_lr = True
+        self._use_lr = self.bf16_head
         self.reg_coef = (self.loss.hessian_lipschitz if reg_coef is None
                          else float(reg_coef))
         self.gd: GramData | None = None
@@ -633,7 +639,7 @@ class GramKrylov(Optimizer):
         x0h = np.asarray(x0, np.float64)
         self._x0_host = x0h
         self._gn_first = None
-        self._use_lr = True
+        self._use_lr = self.bf16_head
         # clear lazily-cached exact-correction constants: a second run on
         # the same instance with a different x0 must not reinject exact
         # margins computed from the stale x0, nor leak the previous run's
@@ -701,14 +707,20 @@ class GramKrylov(Optimizer):
             # single-segment builds)
             from krylov_crn_tpu.ops.gram import build_gram_fused
 
+            # the bf16 K copy is only built when the bf16 head phase is
+            # enabled (saves ~n_pad^2 * 2 B of HBM and the copy pass)
             self.gd, flat = build_gram_fused(
                 A, np.asarray(loss.b)[:n_real], x0h, buf, dtype,
-                jnp.dtype(adt))
+                jnp.dtype(adt),
+                low_res_lanczos=self.bf16_head
+                and np.dtype(dtype) == np.float32)
             return GramKrylovState(*flat)
         else:
             self.gd = build_gram(A, np.asarray(loss.b)[: A.shape[0]], x0h,
                                  dtype=dtype, cache_dir=self.cache_dir,
-                                 mesh=self.mesh)
+                                 mesh=self.mesh,
+                                 low_res_lanczos=self.bf16_head
+                                 and np.dtype(dtype) == np.float32)
         Ax = self.gd.Ax0
         return _init_state_packed(Ax, _dev_like(buf, Ax), npad,
                                   jnp.dtype(adt))
