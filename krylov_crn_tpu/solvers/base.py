@@ -101,6 +101,26 @@ class Optimizer:
                     self.loss.x_opt = self.current_x()
         return self.trace
 
+    def warm(self, x0, seed=42):
+        """Execute one throwaway step so the step program's one-time
+        costs (XLA compile, persistent-cache deserialization, per-process
+        executable load — seconds to minutes through a relayed transport)
+        land OUTSIDE a subsequent timed ``run``. Without this, a
+        time-budgeted run can burn its entire ``t_max`` inside the first
+        step's compile and stop after one iteration (observed: the w8a
+        dense-CRN Figure-2 leg terminating at it=1 with a 240 s budget).
+        The real ``run`` re-initializes from scratch."""
+        self.rng = np.random.default_rng(seed)
+        self.init_run(x0, seed)
+        saved_metrics = {k: list(v) for k, v in self.trace.metrics.items()}
+        self.step()
+        st = self.state
+        float(getattr(st, "value", getattr(st, "grad_norm", 0.0)))
+        # steps that write trace metrics (GramCRN's exact-value stream)
+        # must not leak the throwaway iteration into the real run
+        self.trace.metrics = saved_metrics
+        self.initialized = False
+
     def current_x(self):
         """The current iterate as an explicit vector (or None).
 

@@ -238,6 +238,7 @@ def gram_crn_step(
 
     reg = float(state.reg_coef) * beta  # optimistic decrease first
     trials = 0
+    accepted = False
     while True:
         lam, newton_it = newton(reg)
         s, _, _ = solve(lam)
@@ -247,11 +248,32 @@ def gram_crn_step(
                                jnp.asarray(reg, adt), l2, adt)
         if _ls_accept_host(vhi, vlo, state.value, state.value_lo,
                            model_dec, cdt):
+            accepted = True
             break
         if trials >= ls_max:
             break
         reg /= beta
         trials += 1
+
+    if not accepted:
+        # All-reject episode: the reference's cap-and-commit semantics
+        # (cubic.py:214-220 has no cap; our ls_max bound would commit
+        # the last trial) can only fire here through fp32 trial noise
+        # near the numerical floor — and committing that trial was
+        # observed to DIVERGE the run (round 4: the rcv1-like Figure-2
+        # CRN leg's late iterations exploding to f ~ 1.6e6 while its
+        # best value sat at gap 1.4e-7). Mirror gram_krylov_step's
+        # policy: freeze the iterate, raise reg ONE backtracking notch,
+        # report diff_norm = inf (not claiming tolerance convergence).
+        # Unreachable for fp64 runs, so reference parity is unaffected.
+        return state._replace(
+            reg_coef=reg_clamp(state.reg_coef.astype(adt) / beta,
+                               cdt, reg_ceil).astype(cdt),
+            r0=jnp.asarray(lam, cdt),
+            solver_it=state.solver_it + jnp.asarray(newton_it, jnp.int32),
+            diff_norm=jnp.asarray(jnp.inf, cdt),
+            grad_norm=jnp.asarray(g_norm, cdt),
+        )
 
     value_new = vhi.astype(cdt)
     value_new_lo = vlo.astype(cdt)
@@ -302,13 +324,38 @@ class GramCRN(GramKrylov):
             # it (the K build needs the host matrix), so fp32 GramCRN
             # never runs correction-less — there is no device-only-data
             # drift path (advisor round-3 finding).
-            v64 = self._exact_correct()
+            self._ensure_exact_setup()
+            st = self.state
+            n = self.loss.A_host.shape[0]
+            gamma_h = float(st.gamma)
+            zeta_h = np.asarray(st.zeta, np.float64)[:n]
+            v64 = self._exact_reinject(gamma_h, zeta_h)
+            # ---- trust-but-verify (same reason as run_fused's): near
+            # the fp32 floor, CG steps on a near-singular (H + lam I)
+            # can be huge and their fp32 trial values garbage-low — the
+            # accept test passes on noise, and the committed exact f
+            # EXPLODES (observed: the rcv1-like Figure-2 CRN leg's tail
+            # at f ~ 1.6e6 against a 1.4e-7 best gap). An iteration
+            # must not increase the exact f: otherwise roll back to the
+            # last verified iterate and raise reg one notch.
+            prev = getattr(self, "_crn_verified", None)
+            m = self.trace.metrics
+            if prev is not None and v64 > prev["f"]:
+                m.setdefault("rollback_its", []).append(self.it + 1)
+                m.setdefault("rollback_fs", []).append(v64)
+                self._exact_reinject(
+                    prev["gamma"], prev["zeta"],
+                    reg=min(float(st.reg_coef) / self.beta, 1e6),
+                    r0=float(st.r0), solver_it=int(st.solver_it))
+                v64 = prev["f"]
+            else:
+                self._crn_verified = dict(gamma=gamma_h,
+                                          zeta=zeta_h.copy(), f=v64)
             # record the exact value stream: these per-iteration fp64
             # host-verified values are what lets the Figure-2 artifact
             # prove its own f* anchor (curve_of / final_gaps read
             # exact_fs when present) — without them the CRN leg that
             # *defines* f_star carried fp64_verified: false
-            m = self.trace.metrics
             m.setdefault("exact_its", []).append(self.it + 1)
             m.setdefault("exact_fs", []).append(v64)
 

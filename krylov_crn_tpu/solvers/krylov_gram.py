@@ -648,6 +648,7 @@ class GramKrylov(Optimizer):
         self._Ax0_64 = None
         self._b01_64 = None
         self._f_best_exact = None
+        self._crn_verified = None  # GramCRN's trust-but-verify snapshot
         dtype = np.dtype(loss.b.dtype)
         cdt = jnp.dtype(dtype)
         adt = _accum_dtype(cdt)
