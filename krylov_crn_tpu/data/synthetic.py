@@ -314,13 +314,21 @@ def synthetic_logreg(name_or_shape, seed=0, dtype=np.float32, profile=None,
             # optimum is ATTAINED (v3's random twins left uncovered
             # directions: an effectively-unattained infimum ~2e-5 below
             # every solver's floor — see PROBLEM_VERSION note)
-            R_eff = int(topic_choice.max()) + 1
             perm = rng.permutation(n)
             flat_topics = topic_choice[perm].ravel()
             flat_rows = np.repeat(perm, topic_choice.shape[1])
             _, first = np.unique(flat_topics, return_index=True)
             cover = np.unique(flat_rows[first])
+            # topic coverage can push k above conflict_frac*n/2; each
+            # twin consumes a distinct (src, dst) pair, so 2k rows must
+            # exist — fail with a diagnostic rather than a bare
+            # rng.choice ValueError (small-n explicit topic_params)
             k = max(k, len(cover))
+            if 2 * k > n:
+                raise ValueError(
+                    f"conflict twins need 2k={2 * k} distinct rows to "
+                    f"cover {len(cover)} topic sources but n={n}; use "
+                    "fewer topics (R) or more rows")
             pool = np.setdiff1d(np.arange(n), cover)
             extra = rng.choice(pool, size=2 * k - len(cover),
                                replace=False)

@@ -30,6 +30,7 @@ from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
 from krylov_crn_tpu.solvers.krylov_gram import (
     GramKrylov,
     GramKrylovState,
+    _candidate_df,
     _gram_value,
     _x_sqnorm,
 )
@@ -143,7 +144,20 @@ def _rep_dot_j(gd: GramData, u: Rep, v: Rep, accum_dtype):
 @functools.partial(jax.jit, static_argnames=("l2", "accum_dtype"))
 def _trial_eval(gd: GramData, state: GramKrylovState, g: Rep, s: Rep,
                 lam, reg, l2, accum_dtype):
-    """Candidate state pieces + model decrease for one line-search trial."""
+    """Candidate state pieces + model decrease for one line-search trial.
+
+    For l2 == 0 the loss CHANGE is evaluated in difference form
+    (_candidate_df — same numerics as gram_krylov_step's batched line
+    search): the accept decision and the committed value pair then carry
+    error proportional to the decrease at any gap scale, instead of the
+    absolute evaluation's ~eps*|margin|/sqrt(n) noise floor (which capped
+    the fp32 GramCRN rcv1-like leg at a 1.4e-7 gap in the round-4
+    Figure-2 artifact while the Krylov path's difference form reached
+    2.1e-11 on the same problem). l2 > 0 keeps the absolute path (the
+    l2 term needs |x|^2), mirroring the Krylov step's split.
+
+    Returns (..., dfh, dfl): the change pair, for difference-form accept
+    tests; under the absolute path it is the exact pair difference."""
     adt = jnp.dtype(accum_dtype)
     s2 = rep_dot(gd, s, s, adt)
     norm_s = jnp.sqrt(jnp.maximum(s2, 0.0))
@@ -154,23 +168,39 @@ def _trial_eval(gd: GramData, state: GramKrylovState, g: Rep, s: Rep,
     zeta_new = state.zeta + s.w
     Ax_new, e = two_sum(state.Ax, s.u)
     Ax_lo_new = state.Ax_lo + e
-    xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt, Ax_lo=Ax_lo_new)
-    vhi, vlo = _gram_value(gd, Ax_new, xsq, l2, adt, Ax_lo=Ax_lo_new)
+    if l2:
+        xsq = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt,
+                        Ax_lo=Ax_lo_new)
+        vhi, vlo = _gram_value(gd, Ax_new, xsq, l2, adt, Ax_lo=Ax_lo_new)
+        dfh, err = two_sum(vhi, -state.value)
+        dfl = err + (vlo - state.value_lo)
+    else:
+        dfh, dfl = _candidate_df(gd, state.Ax, s.u, adt)
+        vhi, err = two_sum(state.value, dfh)
+        vlo = state.value_lo + err + dfl
     return (gamma_new, zeta_new, Ax_new, Ax_lo_new, vhi, vlo, model_dec,
-            norm_s)
+            norm_s, dfh, dfl)
 
 
 def _pair64(hi, lo):
     return float(hi) + float(lo)
 
 
-def _ls_accept_host(vhi, vlo, fhi, flo, model_dec, cdt):
-    """Host mirror of ops.math.ls_accept on two-float pairs: fp64 addition
-    of an fp32 (hi, lo) pair is exact, so the fp64 gap equals pair_diff."""
-    gap = _pair64(vhi, vlo) - _pair64(fhi, flo)
+def _ls_accept_host(dfh, dfl, fhi, model_dec, cdt):
+    """Host mirror of gram_krylov_step's difference-form accept test: the
+    trial's change pair (dfh, dfl) sums exactly in fp64, so the gap the
+    decision sees is the difference-form value — change-accurate near the
+    floor, not absolute-evaluation noise. Second clause as in the Krylov
+    step: once the model decrease is below one ulp of f, accept any
+    non-increase up to the same ulp (fp64 comparisons cannot see below
+    that either; at exact convergence the difference form reads
+    +-eps^2-level noise rather than exactly 0)."""
+    gap = _pair64(dfh, dfl)
     ulp = float(jnp.finfo(cdt).eps) * abs(float(fhi))
     md = float(model_dec)
-    return (gap <= -md) or (md <= ulp and gap <= 0.0)
+    if not np.isfinite(gap):
+        return False
+    return (gap <= -md) or (md <= ulp and gap <= ulp)
 
 
 def gram_crn_step(
@@ -243,11 +273,10 @@ def gram_crn_step(
         lam, newton_it = newton(reg)
         s, _, _ = solve(lam)
         (gamma_new, zeta_new, Ax_new, Ax_lo_new, vhi, vlo, model_dec,
-         norm_s) = _trial_eval(gd, state, g, s,
-                               jnp.asarray(lam, adt),
-                               jnp.asarray(reg, adt), l2, adt)
-        if _ls_accept_host(vhi, vlo, state.value, state.value_lo,
-                           model_dec, cdt):
+         norm_s, dfh, dfl) = _trial_eval(gd, state, g, s,
+                                         jnp.asarray(lam, adt),
+                                         jnp.asarray(reg, adt), l2, adt)
+        if _ls_accept_host(dfh, dfl, state.value, model_dec, cdt):
             accepted = True
             break
         if trials >= ls_max:
@@ -305,6 +334,21 @@ class GramCRN(GramKrylov):
     def step(self):
         import jax.numpy as jnp
 
+        if (self.state.zeta.dtype == jnp.float32
+                and getattr(self, "_crn_verified", None) is None):
+            # seed trust-but-verify from the exact initial state (it IS
+            # exact: init_state computes the value in host fp64 and the
+            # rep is (gamma=1, zeta=0)) — without this the FIRST
+            # iteration would be accepted unconditionally, so a
+            # first-step explosion would become the verified baseline
+            # (advisor round-4 finding; run_fused seeds its snapshot the
+            # same way)
+            st0 = self.state
+            self._crn_verified = dict(
+                gamma=float(st0.gamma),
+                zeta=np.asarray(st0.zeta, np.float64)[
+                    : self.loss.A_host.shape[0]].copy(),
+                f=float(st0.value) + float(st0.value_lo))
         self.state = gram_crn_step(
             self.gd, self.state,
             l2=self.loss.l2, beta=self.beta, solver_eps=self.solver_eps,
@@ -343,9 +387,14 @@ class GramCRN(GramKrylov):
             if prev is not None and v64 > prev["f"]:
                 m.setdefault("rollback_its", []).append(self.it + 1)
                 m.setdefault("rollback_fs", []).append(v64)
+                # same scaled ceiling as every other reg clamp site
+                # (reg_clamp's max(1e6, 1e4*reg_coef)); a hardcoded 1e6
+                # would pin reg below what the step itself allows on
+                # problems with a large legitimate reg scale
                 self._exact_reinject(
                     prev["gamma"], prev["zeta"],
-                    reg=min(float(st.reg_coef) / self.beta, 1e6),
+                    reg=min(float(st.reg_coef) / self.beta,
+                            max(1e6, 1e4 * float(self.reg_coef))),
                     r0=float(st.r0), solver_it=int(st.solver_it))
                 v64 = prev["f"]
             else:

@@ -121,6 +121,45 @@ def test_device_K_build_matches_host(gram_problem):
     np.testing.assert_array_equal(K[n:], 0)
 
 
+def test_device_K_build_fp32_split_matches_host(gram_problem):
+    """fp32 HIGHEST K builds route through the split-K SYRK (the 3-way
+    bf16 split, _syrk_split_P) — the default numerics for every fp32
+    Gram build. The fp64 test above bypasses _use_split, so a split
+    regression (e.g. XLA eliding the reduce_precision residuals back to
+    one bf16 pass, elem err ~3.8e-3) would ship silently without this
+    fp32 guard (advisor round-4 finding). Expected accuracy class is
+    fp32-accumulation-bound (~1e-7 relative; a degraded bf16 pass reads
+    ~1e-3)."""
+    from krylov_crn_tpu.ops.gram import (
+        _build_K_device,
+        _syrk_split,
+        _use_split,
+    )
+
+    A, b, x0 = gram_problem
+    # the routing predicate: fp32 at HIGHEST must take the split path
+    assert _use_split(jnp.zeros((2, 2), jnp.float32),
+                      jax.lax.Precision.HIGHEST)
+    assert not _use_split(jnp.zeros((2, 2), jnp.float64),
+                          jax.lax.Precision.HIGHEST)
+
+    n = A.shape[0]
+    n_pad = ((n + 255) // 256) * 256
+    K = np.asarray(_build_K_device(A, n_pad, np.float32, col_block=256))
+    want = (A @ A.T).toarray()
+    scale = np.abs(want).max()
+    err = np.abs(K[:n, :n] - want).max()
+    assert err <= 1e-5 * scale, f"split-K build err {err:.3g} vs {scale:.3g}"
+
+    # the SYRK unit itself, against the fp64 host product
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((128, 96)).astype(np.float32)
+    P = np.asarray(_syrk_split(jnp.asarray(B)))
+    want_s = B.astype(np.float64) @ B.astype(np.float64).T
+    rel = np.abs(P - want_s).max() / np.abs(want_s).max()
+    assert rel < 1e-5, f"_syrk_split rel err {rel:.3g} (bf16-pass grade?)"
+
+
 def test_gram_crn_matches_standard_cg(gram_problem):
     """Gram-space CRN-CG tracks the d-space CRN-CG solver."""
     from krylov_crn_tpu.solvers.crn_gram import GramCRN
