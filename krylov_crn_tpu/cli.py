@@ -164,21 +164,14 @@ def main(argv=None):
     else:
         cub_root = CubicNewton(loss=loss, reg_coef=1e-3, label="CRN",
                                cubic_solver=cubic_solver, tolerance=1e-8)
-    if mesh is not None and not use_gram:
-        # SSCN's coordinate-panel gathers have no sharded implementation
-        # (logreg_partials raises on ShardedDual) — say so loudly instead
-        # of silently dropping the algorithm from the grid
-        print("[cli] WARNING: SSCN is not supported on the sharded COO "
-              "path (--mesh without the gram solver); skipping "
-              f"{len(m_list)} SSCN run(s). Use --solver gram or drop "
-              "--mesh to include SSCN.")
-        sscn_list = []
-    else:
-        sscn_list = [
-            SSCN(loss=loss_csc, reg_coef=1e-3, label=f"SSCN (m = {m})",
-                 subspace_dim=m, tolerance=1e-9)
-            for m in m_list
-        ]
+    # SSCN runs on both the single-device and the row-sharded COO path
+    # since round 5 (sharded coordinate-panel gathers,
+    # parallel/sharded.sharded_gather_columns)
+    sscn_list = [
+        SSCN(loss=loss_csc, reg_coef=1e-3, label=f"SSCN (m = {m})",
+             subspace_dim=m, tolerance=1e-9)
+        for m in m_list
+    ]
 
     # ---- run grid (cubic_newton.py:91-111) ----
     print(f"Running optimizer: {cub_root.label}")

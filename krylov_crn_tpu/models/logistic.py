@@ -141,20 +141,38 @@ def logreg_hessian_dense(data: DualSparse, Ax, l2: float = 0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("l2", "k_pad"))
-def logreg_partials(data: DualSparse, b, Ax, x, I, l2: float = 0.0,
+def logreg_partials(data, b, Ax, x, I, l2: float = 0.0,
                     k_pad: int | None = None):
     """Coordinate-subspace gradient, Hessian, and column panel for SSCN.
 
     Returns (g_I, H_I, B) where B = dense A[:, I]; one fused program:
       g_I = B^T (sigma(Ax)-b)/n + l2 x_I        (loss.py:234-247)
       H_I = B^T diag(w) B / n + l2 I_m          (loss.py:257-264)
+
+    Row-sharded data (ShardedDual): the panel assembles shard-locally
+    (parallel/sharded.sharded_gather_columns) and comes out row-sharded;
+    the B^T reductions below then lower to one psum each under GSPMD —
+    the sharded-SSCN design of the round-4 verdict (reference analog
+    cubic.py:321-408). Padded rows are masked out of the residual and
+    Hessian weights (sigma(0) - 0 = 0.5 and w(0) = 0.25 would otherwise
+    pollute the partials).
     """
-    B = gather_columns_dense(data, I, k_pad)
-    residual = sigmoid(Ax) - b
+    from krylov_crn_tpu.parallel.sharded import (
+        ShardedDual,
+        sharded_gather_columns,
+    )
+
+    if isinstance(data, ShardedDual):
+        B = sharded_gather_columns(data, I)
+        residual = (sigmoid(Ax) - b) * data.mask
+        w = hessian_weights(Ax) * data.mask
+    else:
+        B = gather_columns_dense(data, I, k_pad)
+        residual = sigmoid(Ax) - b
+        w = hessian_weights(Ax)
     g = B.T @ residual / data.n
     if l2:
         g = g + l2 * jnp.take(x, I)
-    w = hessian_weights(Ax)
     H = (B * w[:, None]).T @ B / data.n
     if l2:
         H = H + l2 * jnp.eye(I.shape[0], dtype=H.dtype)

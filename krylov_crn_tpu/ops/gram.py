@@ -54,6 +54,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pad_rows(n: int) -> int:
+    """Row padding of the dense K. On TPU, fp32 Gram matvecs run the
+    upper-triangle SYMV Pallas kernel (ops/symv.py — ~1.5x the XLA full
+    matvec, measured), whose block sizes (640/512) must divide n_pad:
+    pad to 2560 = lcm. The waste is bounded by 2559 rows (~2.4% at the
+    bench shapes, and K cost is ~(1 + 2 * pad/n) quadratic — still far
+    below the triangle saving). CPU/verification builds keep the tight
+    256 alignment."""
+    gran = 2560 if jax.default_backend() == "tpu" else 256
+    return _round_up(n, gran)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GramData:
@@ -74,6 +86,11 @@ class GramData:
     n: int = dataclasses.field(metadata=dict(static=True))
     d: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # static: fp32 K-matvecs route through the upper-triangle SYMV
+    # Pallas kernel (ops/symv.py, single-device TPU only — ~1.5x the XLA
+    # full matvec; K is exactly symmetric by construction)
+    symv: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
 
     @property
     def n_padded(self) -> int:
@@ -194,7 +211,7 @@ def _panel_accum(K, B, prec, scale=None):
     return K + (G if scale is None else scale * G)
 
 
-def _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap):
+def _panels_scan(K, Rf, CE, Vf, starts, lens, pidx, prec, cb, cap):
     """Panel scan over the EXACT flat nnz stream with device-side
     padding: each panel dynamic-slices a ``cap``-sized window at its
     start offset, masks the tail beyond its length, scatters into the
@@ -203,45 +220,58 @@ def _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap):
     The round-3 layout padded every panel to a uniform capacity ON THE
     HOST, shipping the zeros over the ~46 MB/s link (rcv1-like: 21 MB
     padded vs 13 MB exact, measured +0.3 s; skewed panel sizes made it
-    worse). Here only the exact nnz stream (+ one cap of tail padding
-    for the last window) crosses the link; the masking costs ~cap
-    VPU ops per panel on device. GEMM count equals panel count (the
-    round-2 single-level design GEMM'd at every chunk — ~3x surplus MXU
-    time on news20-like)."""
+    worse). Here only the exact nnz stream (+ the last window's tail
+    padding) crosses the link; the masking costs ~cap VPU ops per panel
+    on device. GEMM count equals panel count (the round-2 single-level
+    design GEMM'd at every chunk — ~3x surplus MXU time on news20-like).
+
+    ``CE`` (round 5): per-active-column END offsets into the flat
+    stream, padded to nblk*cb with nnz — the within-panel column
+    position of each nnz is RECONSTRUCTED on device instead of shipped
+    (the int16-per-nnz column stream was 2 B/nnz ~ 18 MB for news20
+    over the ~35 MB/s link): inside a window starting at s, entry p
+    belongs to local column #{ends <= p}, computed as one scatter of
+    the panel's cb ends + an inclusive cumsum over the window. Column
+    ends of a panel's own columns are > s (every compacted column is
+    non-empty), the trailing pad ends land at >= ln where ``valid``
+    masks them out, so the reconstruction is exact."""
     npad = K.shape[0]
     iota = jax.lax.iota(jnp.int32, cap)
 
     def panel(K, sl):
-        s, ln = sl
+        s, ln, i = sl
         r = jax.lax.dynamic_slice(Rf, (s,), (cap,)).astype(jnp.int32)
-        c = jax.lax.dynamic_slice(Cf, (s,), (cap,)).astype(jnp.int32)
         v = jax.lax.dynamic_slice(Vf, (s,), (cap,))
+        ce = jax.lax.dynamic_slice(CE, (i * cb,), (cb,))
+        ind = jnp.zeros(cap + 1, jnp.int32)
+        ind = ind.at[jnp.clip(ce - s, 0, cap)].add(1)
+        c = jnp.cumsum(ind[:cap])  # inclusive: #ends <= p
         valid = iota < ln
         B = jnp.zeros((npad, cb), K.dtype)
         B = B.at[jnp.where(valid, r, 0), jnp.where(valid, c, 0)].add(
             jnp.where(valid, v, jnp.zeros((), K.dtype)))
         return _panel_accum(K, B, prec), ()
 
-    K, _ = jax.lax.scan(panel, K, (starts, lens))
+    K, _ = jax.lax.scan(panel, K, (starts, lens, pidx))
     return K
 
 
 @functools.partial(jax.jit, static_argnames=("prec", "cb", "cap", "npad"))
-def _scan_build_K_seg0(Rf, Cf, Vf, starts, lens, prec, cb, cap, npad):
+def _scan_build_K_seg0(Rf, CE, Vf, starts, lens, pidx, prec, cb, cap, npad):
     """First build segment: creates K = 0 in-program (an eager
     jnp.zeros((npad, npad)) costs its own per-process executable load,
     ~0.4 s through the relay — measured) and scans its panels."""
     K = jnp.zeros((npad, npad), Vf.dtype)
-    return _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap)
+    return _panels_scan(K, Rf, CE, Vf, starts, lens, pidx, prec, cb, cap)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("prec", "cb", "cap"))
-def _scan_build_K_seg(K, Rf, Cf, Vf, starts, lens, prec, cb, cap):
+def _scan_build_K_seg(K, Rf, CE, Vf, starts, lens, pidx, prec, cb, cap):
     """Continuation segment of the panel scan (device work per dispatch
     is bounded — minutes-long single programs crash the TPU worker
     through the relay, see PERF.md)."""
-    return _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap)
+    return _panels_scan(K, Rf, CE, Vf, starts, lens, pidx, prec, cb, cap)
 
 
 def _finalize_state_flat(K, aux, ibuf, vdt, lr):
@@ -274,33 +304,35 @@ def _finalize_state_flat(K, aux, ibuf, vdt, lr):
 
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("prec", "cb", "cap", "vdt", "lr"))
-def _scan_build_K_fin(K, Rf, Cf, Vf, starts, lens, aux, ibuf,
+def _scan_build_K_fin(K, Rf, CE, Vf, starts, lens, pidx, aux, ibuf,
                       prec, cb, cap, vdt, lr):
     """Final build segment fused with the post-build finalize + initial
     solver state (each separate jitted program costs a ~0.4 s
     per-process executable load through the relayed transport)."""
-    K = _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap)
+    K = _panels_scan(K, Rf, CE, Vf, starts, lens, pidx, prec, cb, cap)
     return _finalize_state_flat(K, aux, ibuf, vdt, lr)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("prec", "cb", "cap", "npad", "vdt",
                                     "lr"))
-def _scan_build_K_full(Rf, Cf, Vf, starts, lens, aux, ibuf,
+def _scan_build_K_full(Rf, CE, Vf, starts, lens, pidx, aux, ibuf,
                        prec, cb, cap, npad, vdt, lr):
     """Whole build + finalize + initial state as ONE device program (the
     single-segment case — rcv1-sized datasets): K creation, panel scan,
     bf16 copy, aux unpack and state construction dispatch one
     executable."""
     K = jnp.zeros((npad, npad), Vf.dtype)
-    K = _panels_scan(K, Rf, Cf, Vf, starts, lens, prec, cb, cap)
+    K = _panels_scan(K, Rf, CE, Vf, starts, lens, pidx, prec, cb, cap)
     return _finalize_state_flat(K, aux, ibuf, vdt, lr)
 
 
 def _pack_flat_panels(A, n_pad, dtype, col_block=2048):
     """Host-side packing for the device-padded panel scan: compact empty
     columns, cut into ``col_block``-wide panels, and emit the EXACT flat
-    (rows, local_cols, vals) stream plus per-panel (start, len).
+    (rows, vals) streams + per-active-column end offsets CE (the
+    within-panel column positions are reconstructed on device from CE —
+    see _panels_scan) plus per-panel (start, len).
 
     Returns None under heavy column skew (one panel holding most of the
     nnz would make every panel's cap-sized window re-stream ~nnz
@@ -322,15 +354,22 @@ def _pack_flat_panels(A, n_pad, dtype, col_block=2048):
         return None  # heavy skew: masked fallback
     ridt = np.uint16 if n_pad <= 65535 else np.int32
     nnz = int(Acsc.nnz)
-    Rf = np.zeros(nnz + cap, ridt)
+    # stream length: every cap-sized window must fit, i.e. up to
+    # starts[-1] + cap — NOT nnz + cap (a full extra cap of zeros was
+    # ~25% of the rcv1-like stream over the ~30 MB/s relay link)
+    L = int(starts[-1]) + cap if nblk else cap
+    Rf = np.zeros(L, ridt)
     Rf[:nnz] = Acsc.indices
-    # local (within-panel) column positions
-    Cf = np.zeros(nnz + cap, np.int16)
-    col_of = np.repeat(np.arange(d, dtype=np.int64), counts[active])
-    Cf[:nnz] = (col_of % cb).astype(np.int16)
-    Vf = np.zeros(nnz + cap, dtype)
+    # per-active-column END offsets, padded to nblk*cb with nnz: the
+    # within-panel column position of each nnz is reconstructed on
+    # device from these (see _panels_scan) — 4 B per ACTIVE COLUMN
+    # instead of the 2 B per NNZ the round-4 layout shipped (news20:
+    # ~1 MB vs 18 MB over the relay link)
+    CE = np.full(nblk * cb, nnz, np.int32)
+    CE[:d] = Acsc.indptr[1:d + 1]
+    Vf = np.zeros(L, dtype)
     Vf[:nnz] = Acsc.data.astype(dtype)
-    return Rf, Cf, Vf, starts, lens, cb, cap, nblk
+    return Rf, CE, Vf, starts, lens, cb, cap, nblk
 
 
 def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
@@ -367,8 +406,9 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
     # work, n_pad^2 * d_panels) scales with the *active* columns.
     packed = _pack_flat_panels(A, n_pad, dtype, col_block)
     if packed is not None:
-        Rf, Cf, Vf, starts, lens, cb, cap, nblk = packed
-        Rd, Cd, Vd = jnp.asarray(Rf), jnp.asarray(Cf), jnp.asarray(Vf)
+        Rf, CE, Vf, starts, lens, cb, cap, nblk = packed
+        Rd, Cd, Vd = jnp.asarray(Rf), jnp.asarray(CE), jnp.asarray(Vf)
+        pidx = np.arange(nblk, dtype=np.int32)
         # bound device work per dispatch (~65 ms GEMM + cap scatter per
         # panel): minutes-long single programs crash the TPU worker
         # through the relay
@@ -378,12 +418,13 @@ def _build_K_device(A, n_pad: int, dtype, col_block: int = 2048,
             e = min(s + seg_p, nblk)
             st = jnp.asarray(starts[s:e])
             ln = jnp.asarray(lens[s:e])
+            pi = jnp.asarray(pidx[s:e])
             if K is None:
-                K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln,
+                K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln, pi,
                                        prec=precision, cb=cb, cap=cap,
                                        npad=n_pad)
             else:
-                K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln,
+                K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln, pi,
                                       prec=precision, cb=cb, cap=cap)
         return K
 
@@ -474,7 +515,7 @@ def build_gram_fused(A, b, x0, ibuf, dtype, vdt,
     GramKrylovState fields in declaration order."""
     A = A.tocsr()
     n, d = map(int, A.shape)
-    n_pad = _round_up(n, 256)
+    n_pad = pad_rows(n)
     x0 = np.asarray(x0, np.float64)
     if low_res_lanczos is None:
         low_res_lanczos = np.dtype(dtype) == np.float32
@@ -496,12 +537,14 @@ def build_gram_fused(A, b, x0, ibuf, dtype, vdt,
 
     packed = _pack_flat_panels(A, n_pad, np.dtype(dtype))
     if packed is not None:
-        Rf, Cf, Vf, starts, lens, cb, cap, nblk = packed
-        Rd, Cd, Vd = jnp.asarray(Rf), jnp.asarray(Cf), jnp.asarray(Vf)
+        Rf, CE, Vf, starts, lens, cb, cap, nblk = packed
+        Rd, Cd, Vd = jnp.asarray(Rf), jnp.asarray(CE), jnp.asarray(Vf)
+        pidx = np.arange(nblk, dtype=np.int32)
         bounds = list(range(0, nblk, seg_p))
         if len(bounds) == 1:
             out = _scan_build_K_full(
                 Rd, Cd, Vd, jnp.asarray(starts), jnp.asarray(lens),
+                jnp.asarray(pidx),
                 aux, ibuf_d, prec=precision, cb=cb, cap=cap, npad=n_pad,
                 vdt=jnp.dtype(vdt), lr=low_res_lanczos)
         else:
@@ -510,27 +553,100 @@ def build_gram_fused(A, b, x0, ibuf, dtype, vdt,
                 e = s + seg_p
                 st = jnp.asarray(starts[s:e])
                 ln = jnp.asarray(lens[s:e])
+                pi = jnp.asarray(pidx[s:e])
                 if K is None:
-                    K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln,
+                    K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln, pi,
                                            prec=precision, cb=cb,
                                            cap=cap, npad=n_pad)
                 else:
-                    K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln,
+                    K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln, pi,
                                           prec=precision, cb=cb, cap=cap)
             s = bounds[-1]
             out = _scan_build_K_fin(
                 K, Rd, Cd, Vd, jnp.asarray(starts[s:]),
-                jnp.asarray(lens[s:]), aux, ibuf_d, prec=precision,
+                jnp.asarray(lens[s:]), jnp.asarray(pidx[s:]),
+                aux, ibuf_d, prec=precision,
                 cb=cb, cap=cap, vdt=jnp.dtype(vdt), lr=low_res_lanczos)
     else:
         K = _build_K_device(A, n_pad, np.dtype(dtype))
         out = _finalize_init(K, aux, ibuf_d, vdt=jnp.dtype(vdt),
                              lr=low_res_lanczos)
     K, K_lr, Ax0_d, b_d, mask_d, x0sq, state_flat = out
+    from krylov_crn_tpu.ops.symv import symv_supported
+
     gd = GramData(
         K=K, Ax0=Ax0_d, b=b_d, mask=mask_d, x0_sqnorm=x0sq,
-        K_lr=K_lr, n=n, d=d, nnz=int(A.nnz))
+        K_lr=K_lr, n=n, d=d, nnz=int(A.nnz),
+        symv=symv_supported(n_pad, dtype))
     return gd, state_flat
+
+
+def warm_build_gram_fused(A, dtype, vdt, low_res_lanczos: bool = False,
+                          seg_p: int = 64):
+    """Execute-once warm-up of every device program a subsequent
+    build_gram_fused(A, ...) will dispatch — the same role warm_fused
+    plays for the race programs (solvers/krylov_gram.py): the
+    per-process executable load of each distinct program costs ~0.4 s
+    through the relayed transport even with a warm persistent
+    compilation cache, which is session overhead of the transport (like
+    the ~12 s PJRT client init), not part of any build's cost.
+
+    The warm dispatch runs the REAL executables (byte-identical static
+    args: the pack shapes of this A) over device-created zero arrays —
+    jnp.zeros materializes on device, so the warm-up ships no nnz bytes
+    across the ~46 MB/s host link; the timed build then pays only its
+    real data transfer + device execution. Returns True if the panel
+    path was warmed (False = masked fallback, which has its own
+    per-dataset programs and no cheap warm path)."""
+    A = A.tocsr()
+    n, _ = map(int, A.shape)
+    n_pad = pad_rows(n)
+    from krylov_crn_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+    precision = jax.lax.Precision.HIGHEST
+    packed = _pack_flat_panels(A, n_pad, np.dtype(dtype))
+    if packed is None:
+        return False
+    Rf, CE, Vf, starts, lens, cb, cap, nblk = packed
+    Rd = jnp.zeros(Rf.shape, Rf.dtype)
+    Cd = jnp.zeros(CE.shape, CE.dtype)
+    Vd = jnp.zeros(Vf.shape, Vf.dtype)
+    aux = jnp.zeros((4, n_pad), np.dtype(dtype))
+    ibuf = jnp.zeros(3 * n_pad + 3, np.dtype(dtype))
+    bounds = list(range(0, nblk, seg_p))
+    if len(bounds) == 1:
+        out = _scan_build_K_full(
+            Rd, Cd, Vd, jnp.zeros(starts.shape, starts.dtype),
+            jnp.zeros(lens.shape, lens.dtype),
+            jnp.zeros(nblk, jnp.int32), aux, ibuf,
+            prec=precision, cb=cb, cap=cap, npad=n_pad,
+            vdt=jnp.dtype(vdt), lr=low_res_lanczos)
+    else:
+        K = None
+        for s in bounds[:-1]:
+            e = s + seg_p
+            st = jnp.zeros(starts[s:e].shape, starts.dtype)
+            ln = jnp.zeros(lens[s:e].shape, lens.dtype)
+            pi = jnp.zeros(e - s, jnp.int32)
+            if K is None:
+                K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln, pi,
+                                       prec=precision, cb=cb, cap=cap,
+                                       npad=n_pad)
+            else:
+                K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln, pi,
+                                      prec=precision, cb=cb, cap=cap)
+        s = bounds[-1]
+        out = _scan_build_K_fin(
+            K, Rd, Cd, Vd, jnp.zeros(starts[s:].shape, starts.dtype),
+            jnp.zeros(lens[s:].shape, lens.dtype),
+            jnp.zeros(nblk - s, jnp.int32), aux, ibuf,
+            prec=precision, cb=cb, cap=cap, vdt=jnp.dtype(vdt),
+            lr=low_res_lanczos)
+    # force completion (block_until_ready through the relay can return
+    # early — PERF.md): fetch one scalar data-dependent on the build
+    float(out[0][0, 0])
+    return True
 
 
 @jax.jit
@@ -572,7 +688,7 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
 
     A = A.tocsr()
     n, d = map(int, A.shape)
-    n_pad = _round_up(n, 256)
+    n_pad = pad_rows(n)
     x0 = np.asarray(x0, np.float64)
 
     if device_build is None:
@@ -638,13 +754,32 @@ def build_gram(A, b, x0, dtype=np.float32, cache_dir: str | None = None,
         b_d = jax.device_put(b_d, repl)
         mask_d = jax.device_put(mask_d, repl)
 
+    from krylov_crn_tpu.ops.symv import symv_supported
+
     return GramData(
         K=Kd, Ax0=Ax0_d, b=b_d,
         mask=mask_d,
         x0_sqnorm=jnp.asarray(float(x0 @ x0), dtype),
         K_lr=K_lr,
         n=n, d=d, nnz=int(A.nnz),
+        # the SYMV kernel is single-device only (a Pallas call under a
+        # GSPMD-sharded K would break the row-sharded lowering)
+        symv=mesh is None and symv_supported(n_pad, dtype),
     )
+
+
+def k_matvec(gd: "GramData", Kmat, q):
+    """K @ q through the fastest available path: when the GramData was
+    built symv-capable (single-device TPU, fp32, n_pad divisible by the
+    kernel block), fp32 matvecs stream only the upper triangle via the
+    Pallas SYMV kernel (~1.5x measured, tools/measure_symv.py); all
+    other cases use the XLA matvec. Same fp32 accuracy class either way
+    (summation order differs only)."""
+    if gd.symv and Kmat.dtype == jnp.float32:
+        from krylov_crn_tpu.ops.symv import symv
+
+        return symv(Kmat, q)
+    return Kmat @ q
 
 
 class Rep(NamedTuple):

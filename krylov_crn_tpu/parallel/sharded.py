@@ -35,7 +35,7 @@ from jax import shard_map
 from krylov_crn_tpu.parallel.mesh import DATA_AXIS
 
 __all__ = ["ShardedDual", "partition_rows", "build_sharded_dual",
-           "sharded_spmv", "sharded_rmatvec"]
+           "sharded_spmv", "sharded_rmatvec", "sharded_gather_columns"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -210,6 +210,40 @@ def sharded_row_sqnorms(sd: ShardedDual) -> jax.Array:
         local, mesh=sd.mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
     )(sd.a_vals, sd.a_rows)
+
+
+def sharded_gather_columns(sd: ShardedDual, I: jax.Array) -> jax.Array:
+    """Row-sharded dense column panel B = A[:, I], shape (D*n_l, m).
+
+    The sharded analogue of ops/coords.gather_columns_dense (reference
+    ``A[:, I]`` CSC slicing, loss.py:234-264) and the enabler of sharded
+    SSCN (round-4 verdict item 6): each shard owns its rows' slice of
+    every column, stored in the local transpose with *sorted global
+    column ids* (build_sharded_dual sorts at_rows) — so membership of
+    each nnz in the sampled set I is one searchsorted against sorted(I)
+    and the local panel assembles with a single scatter-add. No
+    inter-shard communication: the panel comes out row-sharded, and the
+    SSCN partials reduce it with psums downstream (H_I = psum of local
+    B^T W B)."""
+    m = int(I.shape[0])
+    order = jnp.argsort(I)
+    I_sorted = jnp.take(I, order)
+
+    def local(at_vals, at_rows, at_cols, I_sorted, order):
+        pos = jnp.clip(jnp.searchsorted(I_sorted, at_rows), 0, m - 1)
+        match = I_sorted[pos] == at_rows
+        slot = jnp.where(match, jnp.take(order, pos), 0)
+        B = jnp.zeros((sd.n_local, m), at_vals.dtype)
+        # padding entries carry zero values (build_sharded_dual), so a
+        # spurious match on the pad column id contributes nothing
+        return B.at[at_cols, slot].add(
+            jnp.where(match, at_vals, jnp.zeros((), at_vals.dtype)))
+
+    return shard_map(
+        local, mesh=sd.mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=P(DATA_AXIS, None),
+    )(sd.at_vals, sd.at_rows, sd.at_cols, I_sorted, order)
 
 
 def sharded_rmatvec(sd: ShardedDual, z: jax.Array) -> jax.Array:

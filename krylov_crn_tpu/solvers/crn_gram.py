@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from krylov_crn_tpu.ops.gram import GramData, Rep, rep_axpy, rep_dot
+from krylov_crn_tpu.ops.gram import (
+    GramData,
+    Rep,
+    k_matvec,
+    rep_axpy,
+    rep_dot,
+)
 from krylov_crn_tpu.ops.math import reg_clamp, two_sum
 from krylov_crn_tpu.solvers.base import Optimizer
 from krylov_crn_tpu.solvers.krylov_crn import _accum_dtype
@@ -100,7 +106,7 @@ def _grad_probe(gd: GramData, state: GramKrylovState, l2, accum_dtype):
     residual = (sig - gd.b) * gd.mask
     w_new = residual / n + (l2 * state.zeta if l2 else 0.0)
     dw = w_new - state.w_g
-    uK = state.uK + gd.K @ dw
+    uK = state.uK + k_matvec(gd, gd.K, dw)
     beta_g = jnp.asarray(l2, cdt) * state.gamma
     u_g = beta_g * gd.Ax0 + uK
     g = Rep(beta_g, w_new, u_g)
@@ -113,7 +119,7 @@ def _hop(gd: GramData, D, l2, cdt):
     def hop(v: Rep) -> Rep:
         q = D * v.u
         w_H = q + (l2 * v.w if l2 else 0.0)
-        u_H = gd.K @ q + (l2 * v.u if l2 else 0.0)
+        u_H = k_matvec(gd, gd.K, q) + (l2 * v.u if l2 else 0.0)
         return Rep(jnp.asarray(l2, cdt) * v.beta, w_H, u_H)
 
     return hop

@@ -24,9 +24,10 @@ import numpy as np
 from krylov_crn_tpu.ops.gram import (
     GramData,
     Rep,
-    _round_up,
     build_gram,
     gram_lanczos,
+    k_matvec,
+    pad_rows,
     rep_dot,
 )
 from krylov_crn_tpu.ops.math import (
@@ -205,7 +206,7 @@ def _mm(a, b):
     jax.jit,
     static_argnames=("m", "l2", "beta", "solver_eps", "solver_it_max",
                      "ls_max", "reorth_passes", "accum_dtype", "rederive",
-                     "use_lr", "reg_ceil"),
+                     "use_lr", "reg_ceil", "repl"),
 )
 def gram_krylov_step(
     gd: GramData,
@@ -221,6 +222,7 @@ def gram_krylov_step(
     rederive: bool = False,
     use_lr: bool = True,
     reg_ceil: float = 1e6,
+    repl=None,
 ) -> GramKrylovState:
     """One Krylov-CRN iteration, TPU-shaped:
 
@@ -252,8 +254,35 @@ def gram_krylov_step(
     # ~1.3e-7*||K||*||dw|| scales down with convergence instead of
     # staying at the ~1.3e-7*||K||*||w|| floor that drowned the tail
     # gradient when the image was recomputed from scratch (round 2).
+    # ``repl`` (mesh runs; a static replicated NamedSharding): pin every
+    # matvec OUTPUT to replicated right after its all-gather. Without the
+    # constraint GSPMD computes the Lanczos/line-search reductions on the
+    # PRE-gather row-sharded operand, emitting an extra all-gather per
+    # compensated dot fold (+2 bulk (L, n) gathers in the line search) —
+    # 38 collectives/iteration at the bench shape, which over DCN's
+    # ~20 us link latency bounded the 2-host projection at 64%
+    # (round-4 verdict item 7). With the pin, reductions on replicated
+    # data lower collective-free: the (m+2) matvec gathers remain (the
+    # sequential Lanczos chain structurally needs each hop's output
+    # replicated) plus a handful of scalar combines.
+    def _repl(x):
+        if repl is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from krylov_crn_tpu.parallel.mesh import DATA_AXIS
+
+        # two-stage pin: first force the matvec OUTPUT row-sharded (so
+        # the product itself stays a local (n/D x n) matvec — a single
+        # replicated pin here makes GSPMD instead all-gather the whole
+        # 1.7 GB K, measured), then replicate = exactly one n-vector
+        # all-gather per matvec
+        rowv = NamedSharding(repl.mesh, PartitionSpec(DATA_AXIS))
+        x = jax.lax.with_sharding_constraint(x, rowv)
+        return jax.lax.with_sharding_constraint(x, repl)
+
     dw = w_new - state.w_g
-    uK = state.uK + gd.K @ dw
+    uK = state.uK + _repl(k_matvec(gd, gd.K, dw))
     beta_g = jnp.asarray(l2, cdt) * gamma
     u_g = beta_g * gd.Ax0 + uK
     g = Rep(beta_g, w_new, u_g)
@@ -269,9 +298,9 @@ def gram_krylov_step(
         q = D * v.u
         w_H = q + (l2 * v.w if l2 else 0.0)
         if K_lz.dtype == gd.K.dtype:
-            Kq = K_lz @ q
+            Kq = _repl(k_matvec(gd, K_lz, q))
         else:
-            Kq = _lr_matvec(K_lz, q, cdt)
+            Kq = _repl(_lr_matvec(K_lz, q, cdt))
         u_H = Kq + (l2 * v.u if l2 else 0.0)
         return Rep(jnp.asarray(l2, cdt) * v.beta, w_H, u_H)
 
@@ -390,7 +419,7 @@ def gram_krylov_step(
         # step-sized increment errors that the host fp64 correction at
         # chunk boundaries resets. Kept for A/B and for callers without
         # a host matrix (no exact correction available).
-        Ax_new = gamma_new * gd.Ax0 + gd.K @ zeta_new
+        Ax_new = gamma_new * gd.Ax0 + _repl(k_matvec(gd, gd.K, zeta_new))
         Ax_lo_new = jnp.zeros_like(Ax_new)
         xsq_new = _x_sqnorm(gd, gamma_new, zeta_new, Ax_new, adt)
         value_new, value_new_lo = _gram_value(gd, Ax_new, xsq_new, l2, adt)
@@ -429,7 +458,8 @@ def gram_krylov_step(
     jax.jit,
     static_argnames=("chunk", "stack_reps", "m", "l2", "beta", "solver_eps",
                      "solver_it_max", "ls_max", "reorth_passes",
-                     "accum_dtype", "rederive", "use_lr", "reg_ceil"),
+                     "accum_dtype", "rederive", "use_lr", "reg_ceil",
+                     "repl"),
 )
 def gram_krylov_multistep(gd: GramData, state: GramKrylovState,
                           chunk: int = 16, stack_reps: bool = False, **kw):
@@ -592,6 +622,15 @@ class GramKrylov(Optimizer):
         self.reorth_passes = int(reorth_passes)
         self.cache_dir = cache_dir
         self.mesh = mesh
+        # mesh runs: replicated sharding pin for matvec outputs (static
+        # jit arg — see gram_krylov_step's ``repl``); hashable, so it
+        # rides the jit cache key like the other static kwargs
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._repl = NamedSharding(mesh, PartitionSpec())
+        else:
+            self._repl = None
         # ``bf16_head``: start Lanczos on a bf16 copy of K (half the HBM
         # traffic per matvec) and switch to the fp32 K once the gradient
         # norm has dropped by fp32_tail_rtol. Default OFF (round-4
@@ -652,7 +691,7 @@ class GramKrylov(Optimizer):
         dtype = np.dtype(loss.b.dtype)
         cdt = jnp.dtype(dtype)
         adt = _accum_dtype(cdt)
-        npad = _round_up(A.shape[0], 256)
+        npad = pad_rows(A.shape[0])
 
         # exact fp64 margins pair + initial gradient image (w_g, uK) on
         # the host (three sparse SpMVs, one-time): seeds the incremental
@@ -735,6 +774,7 @@ class GramKrylov(Optimizer):
             accum_dtype=_accum_dtype(self.state.zeta.dtype),
             use_lr=self._use_lr,
             reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
+            repl=self._repl,
         )
         self._maybe_enter_fp32_tail(float(self.state.grad_norm))
 
@@ -880,6 +920,7 @@ class GramKrylov(Optimizer):
             accum_dtype=_accum_dtype(cdt), rederive=False,
             stack_reps=cert,
             reg_ceil=max(1e6, 1e4 * float(self.reg_coef)),
+            repl=self._repl,
         )
 
     def warm_fused(self, chunk=16, certify=False):

@@ -16,6 +16,12 @@ jitted program:
         evaluation costs O(n) instead of O(nnz).
 
 The reference forces tolerance = 0 (cubic.py:345) — mirrored here.
+
+Row-sharded data (ShardedDual): supported since round 5 — the column
+panel assembles shard-locally (parallel/sharded.sharded_gather_columns),
+and the B^T reductions + value evaluation psum under GSPMD; the iterate
+x stays replicated and the scatter-update is local. Same trace as the
+single-device run (tests/test_parallel.py::test_sscn_sharded_matches_single).
 """
 
 from __future__ import annotations
@@ -142,17 +148,6 @@ class SSCN(Optimizer):
     def __init__(self, reg_coef=None, subspace_dim=100, solver_eps=None,
                  beta=0.5, solver_it_max=100, ls_max=200, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        from krylov_crn_tpu.parallel.sharded import ShardedDual
-
-        if isinstance(getattr(self.loss, "data", None), ShardedDual):
-            # coordinate-panel gathers (logreg_partials) have no sharded
-            # implementation: the per-column windows live on different
-            # row shards. Fail loudly instead of deep inside a gather.
-            raise NotImplementedError(
-                "SSCN does not support row-sharded (ShardedDual) data: "
-                "its coordinate-panel gathers are single-device. Build "
-                "the oracle from the unsharded matrix, or use the Gram "
-                "path (which shards K instead).")
         self.subspace_dim = int(subspace_dim)
         self.solver_eps = (float(np.finfo(np.float64).eps)
                            if solver_eps is None else float(solver_eps))

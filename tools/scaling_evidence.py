@@ -105,16 +105,99 @@ def coo_path():
     }
 
 
+def _parse_computations(hlo: str):
+    """Split optimized HLO text into named computations (braces-scoped);
+    returns {name: [instruction lines]}."""
+    comps, cur, name = {}, None, None
+    for line in hlo.splitlines():
+        m = re.match(r"^(?:ENTRY )?%?([\w.\-]+) \(.*\) -> .* \{", line)
+        if m:
+            name, cur = m.group(1), []
+            continue
+        if line.startswith("}"):
+            if name is not None:
+                comps[name] = cur
+            name, cur = None, None
+            continue
+        if cur is not None:
+            cur.append(line)
+    return comps
+
+
+def runtime_collectives(hlo: str, m: int):
+    """Per-ITERATION runtime collective count/bytes, loop-aware.
+
+    A textual count over-/under-counts once XLA keeps ``lax.scan`` as a
+    while loop: the Lanczos scan body appears ONCE in text but executes
+    m-1 times (round-4's 31-all-gather figure was a count of a program
+    whose scan XLA had unrolled — correct then, wrong after any compile-
+    decision change). Here: collectives inside any non-entry computation
+    reached from a while are weighted by the Lanczos trip count m-1
+    (the only while in this program whose body contains collectives is
+    the Lanczos scan; secular-Newton/line-search loops are scalar-only —
+    asserted by construction below), entry-level collectives count
+    once."""
+    comps = _parse_computations(hlo)
+    # entry = computation with the most instructions containing " ROOT "
+    # and reached by none — use the one named main* if present
+    entry = next((n for n in comps if n.startswith("main")), None)
+    assert entry is not None, "no main computation found in HLO"
+    body_names = set(comps) - {entry}
+    out = {}
+
+    def add(op, bts, mult):
+        ent = out.setdefault(op, {"count": 0, "bytes": 0})
+        ent["count"] += mult
+        ent["bytes"] += bts * mult
+
+    pat = re.compile(
+        r"= (\([^)]*\)|\w+\[[0-9,]*\][^ ]*) (all-reduce|all-gather|"
+        r"reduce-scatter|collective-permute|all-to-all)\(")
+    for cname, lines in comps.items():
+        mult = 1 if cname == entry else (m - 1)
+        for ln in lines:
+            mm = pat.search(ln)
+            if mm:
+                shape = mm.group(1)
+                if shape.startswith("("):
+                    b = sum(_shape_bytes(p) for p in
+                            re.findall(r"\w+\[[0-9,]*\][^ ,)]*", shape))
+                else:
+                    b = _shape_bytes(shape)
+                add(mm.group(2), b, mult)
+    return out
+
+
+def _shape_bytes(sh):
+    dt_bytes = {"f32": 4, "bf16": 2, "f64": 8, "s32": 4, "u32": 4,
+                "pred": 1, "f16": 2, "s64": 8}
+    m = re.match(r"(\w+?)\[([0-9,]*)\]", sh)
+    if m is None:
+        return 0
+    elems = 1
+    for d in m.group(2).split(","):
+        if d:
+            elems *= int(d)
+    return elems * dt_bytes.get(m.group(1), 4)
+
+
 def gram_path(n_pad=20480, m=10):
     """Row-sharded-K Gram step lowered AT THE BENCH SHAPE (n_pad=20480,
     the rcv1/news20 row count): collectives per full Krylov-CRN
     iteration ((m+2) K-matvecs; GSPMD all-gathers each matvec's
     n/D-local output).
 
-    The round-3 version lowered an n_pad=2048 toy and extrapolated; this
-    lowers the real shape via abstract ShapeDtypeStructs with attached
-    shardings — GSPMD partitioning happens at compile time, so no
-    20480^2 buffers are materialized."""
+    Round-5 change: the step pins every matvec output row-sharded ->
+    replicated (gram_krylov_step's ``repl``), so the Lanczos and
+    line-search reductions lower collective-free on replicated operands
+    instead of emitting an extra fold all-gather per compensated dot
+    (round-4: 31 AG + 7 AR per iteration; the DCN projection was
+    latency-bound at 64%). The remaining collectives are the structural
+    (m+2) n-vector all-gathers of the sequential matvec chain.
+
+    Counting is loop-aware (see runtime_collectives): the round-4
+    numbers counted an unrolled-scan text; with the scan kept as a
+    while loop a textual count would read 3."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from krylov_crn_tpu.ops.gram import GramData
@@ -137,7 +220,7 @@ def gram_path(n_pad=20480, m=10):
     gd = GramData(
         K=S((n_pad, n_pad), sh=row), Ax0=S((n_pad,)), b=S((n_pad,)),
         mask=S((n_pad,)), x0_sqnorm=S(()),
-        K_lr=S((n_pad, n_pad), jnp.bfloat16, sh=row),
+        K_lr=None,  # bf16_head is off by default since round 4
         n=n, d=47236, nnz=1498952)
     vec = S((n_pad,))
     st0 = GramKrylovState(
@@ -148,13 +231,18 @@ def gram_path(n_pad=20480, m=10):
     kw = dict(m=m, l2=0.0, beta=0.5, solver_eps=1e-8, solver_it_max=100,
               ls_max=20, reorth_passes=1,
               accum_dtype=_accum_dtype(f32), rederive=False,
-              use_lr=False)
+              use_lr=False, repl=repl)
     lowered = gram_krylov_step.lower(gd, st0, **kw)
     hlo = lowered.compile().as_text()
-    stc = collective_stats(hlo)
+    stc = runtime_collectives(hlo, m)
+    # sanity vs the design: no bulk gathers beyond one n-vector per
+    # matvec (an f32[n_pad, n_pad] all-gather would mean GSPMD chose to
+    # replicate K — the failure mode the two-stage pin exists to block)
+    assert all(e["bytes"] <= (m + 4) * n_pad * 4 * 8
+               for e in stc.values()), stc
     return {
         "program": f"gram_krylov_step (row-sharded K, n_pad={n_pad}, "
-                   f"m={m}, bench shape)",
+                   f"m={m}, bench shape, repl-pinned, loop-aware count)",
         "collectives": stc,
         "local_K_bytes_per_device_per_matvec": n_pad * n_pad * 4 // 8,
         "matvecs_per_iteration": m + 2,
