@@ -254,7 +254,9 @@ def main(argv=None):
 
     os.makedirs(args.out_dir, exist_ok=True)
     mode = "time" if args.plot_time else "iteration"
-    out = os.path.join(args.out_dir, f"{mode}_{args.dataset}.pdf")
+    # basename so a local-path --dataset doesn't nest inside out_dir
+    out = os.path.join(args.out_dir,
+                       f"{mode}_{os.path.basename(args.dataset)}.pdf")
     plt.savefig(out)
     print(f"[cli] saved {out}")
     return 0

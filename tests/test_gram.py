@@ -263,15 +263,84 @@ def test_build_gram_fused_matches_plain(gram_problem):
         gd_f, flat = build_gram_fused(loss.A_host, np.asarray(loss.b)[:n],
                                       x0h, buf, dtype, jnp.dtype(dtype),
                                       seg_p=seg_p)
-        # different panel decompositions change fp64 addition order
-        np.testing.assert_allclose(np.asarray(gd_f.K),
-                                   np.asarray(gd_plain.K), rtol=1e-10,
-                                   atol=1e-12)
-        np.testing.assert_allclose(np.asarray(gd_f.Ax0),
-                                   np.asarray(gd_plain.Ax0), rtol=1e-12)
-        st_f = type(st_plain)(*flat)
-        for name in st_plain._fields:
-            a = np.asarray(getattr(st_f, name))
-            bb = np.asarray(getattr(st_plain, name))
-            np.testing.assert_allclose(a, bb, rtol=1e-12, atol=0,
-                                       err_msg=name)
+        _check_fused(gd_f, flat, gd_plain, st_plain)
+
+
+def _check_fused(gd_f, flat, gd_plain, st_plain):
+    # different panel decompositions change fp64 addition order
+    np.testing.assert_allclose(np.asarray(gd_f.K),
+                               np.asarray(gd_plain.K), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gd_f.Ax0),
+                               np.asarray(gd_plain.Ax0), rtol=1e-12)
+    st_f = type(st_plain)(*flat)
+    for name in st_plain._fields:
+        a = np.asarray(getattr(st_f, name))
+        bb = np.asarray(getattr(st_plain, name))
+        np.testing.assert_allclose(a, bb, rtol=1e-12, atol=0,
+                                   err_msg=name)
+
+
+def test_build_gram_fused_multisegment():
+    """The multi-segment fused build (seg0 + continuation + fused
+    finalize executables) must reproduce the host Gram exactly. The
+    module fixture has d=700 -> ONE 1024-wide panel, so only this test
+    reaches the seg0/seg/fin programs: d=7000 gives four 2048-wide
+    panels, and seg_p=1 routes one panel per segment. (A round-5
+    per-segment stream-slicing variant of this path was measured SLOWER
+    through the relayed transport — transfers serialize with dispatches,
+    so copy/compute overlap never materializes; see PERF.md and
+    tools/measure_build_pipeline.py. The whole-stream layout tested here
+    is the one that stays.)"""
+    from scipy.special import expit
+
+    from krylov_crn_tpu.models.logistic import LogisticRegression
+    from krylov_crn_tpu.ops.gram import (
+        _pack_flat_panels,
+        build_gram_fused,
+        pad_rows,
+        warm_build_gram_fused,
+    )
+    from krylov_crn_tpu.solvers.krylov_gram import GramKrylov
+
+    rng = np.random.default_rng(5)
+    n, d = 150, 7000
+    Ad = rng.standard_normal((n, d)) * (rng.random((n, d)) < 0.01)
+    A = sp.csr_matrix(Ad)
+    b = np.where(rng.random(n) > 0.5, 1.0, -1.0)
+    x0 = np.ones(d) * 0.5
+    dtype = np.float64
+
+    assert _pack_flat_panels(A, pad_rows(n), np.dtype(dtype)) is not None
+    nblk = _pack_flat_panels(A, pad_rows(n), np.dtype(dtype))[7]
+    assert nblk >= 3, "fixture must span several panels"
+
+    loss = LogisticRegression(A, b, dtype=dtype)
+    alg = GramKrylov(loss=loss, reg_coef=1e-3, tqdm=False, label="g")
+    st_plain = alg.init_state(jnp.asarray(x0, dtype), 0)
+    gd_plain = alg.gd
+
+    npad = gd_plain.n_padded
+    m64 = loss.A_host.dot(x0)
+    b64 = np.asarray(loss.b, np.float64)[:n]
+    w64 = (expit(m64) - b64) / n
+    uK64 = loss.A_host.dot(loss.A_host.T.dot(w64))
+    ls = np.where(m64 < 0, m64 - np.log1p(np.exp(m64)),
+                  -np.log1p(np.exp(-m64)))
+    v64 = float(np.mean((1.0 - b64) * m64 - ls))
+    buf = np.zeros(3 * npad + 3, dtype)
+    buf[:n] = (m64 - m64.astype(dtype).astype(np.float64)).astype(dtype)
+    buf[npad:npad + n] = w64.astype(dtype)
+    buf[2 * npad:2 * npad + n] = uK64.astype(dtype)
+    cd = np.dtype(dtype)
+    vhi = cd.type(v64)
+    buf[3 * npad:3 * npad + 3] = (vhi, cd.type(v64 - float(vhi)), 1e-3)
+
+    # warm path must accept the same shapes the real build dispatches
+    assert warm_build_gram_fused(A, dtype, jnp.dtype(dtype), seg_p=1)
+    gd_f, flat = build_gram_fused(A, b, x0, buf, dtype, jnp.dtype(dtype),
+                                  seg_p=1)
+    _check_fused(gd_f, flat, gd_plain, st_plain)
+    K_host = (Ad @ Ad.T)
+    np.testing.assert_allclose(np.asarray(gd_f.K)[:n, :n], K_host,
+                               rtol=1e-10, atol=1e-12)

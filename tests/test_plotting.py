@@ -48,6 +48,33 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert (tmp_path / "iteration_w8a.pdf").stat().st_size > 0
 
 
+def test_cli_local_libsvm_file(tmp_path):
+    """The real-data user workflow: --dataset <local LIBSVM path> (the
+    reference downloads from the LIBSVM site, cubic_newton.py:43-52;
+    this env is zero-egress so the CLI takes a local file instead —
+    BASELINE.md's real-data row is undemonstrable without data, but the
+    ingestion path a user would drop w8a/rcv1/news20 into is this one)."""
+    from krylov_crn_tpu import cli
+    from krylov_crn_tpu.data.synthetic import synthetic_logreg
+
+    A, b = synthetic_logreg((120, 90, 900), seed=3)
+    data = tmp_path / "mini.libsvm"
+    with open(data, "w") as fh:
+        for i in range(A.shape[0]):
+            row = A.getrow(i).tocoo()
+            toks = " ".join(f"{j + 1}:{v:.17g}"
+                            for j, v in zip(row.col, row.data))
+            fh.write(f"{int(b[i])} {toks}\n")
+
+    rc = cli.main([
+        "--dataset", str(data), "--it_max", "3", "--time_max", "600",
+        "--no-bench-run", "--SSCN_dim", "4", "--krylov_dim", "4",
+        "--out-dir", str(tmp_path), "--solver", "coo",
+    ])
+    assert rc == 0
+    assert (tmp_path / f"iteration_{data.name}.pdf").stat().st_size > 0
+
+
 def test_gram_trace_distances_save_roundtrip(small_problem, tmp_path):
     """Gram checkpoints are (gamma, zeta, Ax) reps: plot_distances must
     materialize them, and save/from_pickle must survive the pytree
