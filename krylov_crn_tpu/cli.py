@@ -130,7 +130,10 @@ def main(argv=None):
 
         data = build_sharded_dual(A, mesh, dtype=dtype or np.float32)
         loss = LogisticRegression(data, b, l2=args.l2, dtype=dtype)
-        loss_csc = loss  # partials unsupported sharded
+        # sharded partials exist (parallel/sharded.sharded_gather_columns,
+        # round 5) on this same oracle; a second instance would only
+        # duplicate the f* = min(f_opt, f_opt_csc) bookkeeping
+        loss_csc = loss
     else:
         loss = LogisticRegression(A, b, l2=args.l2, dtype=dtype)
         # the reference builds a CSC copy for SSCN (cubic_newton.py:55-59);

@@ -203,9 +203,15 @@ def _panel_accum(K, B, prec, scale=None):
     symmetrization fused directly into the K accumulate."""
     if _use_split(B, prec):
         P = _syrk_split_P(B)
+        # associate the symmetric pair FIRST: (P + P.T) is bitwise
+        # symmetric (fp add commutes), so K + (P + P.T) preserves exact
+        # symmetry elementwise — K + P + P.T parses as (K + P) + P.T,
+        # whose (i,j)/(j,i) sums associate differently and drift ~1 ulp
+        # per panel, breaking the SYMV kernel's exactness premise
+        # (ops/symv.py reads only the upper triangle)
         if scale is None:
-            return K + P + P.T
-        return K + scale * P + scale * P.T
+            return K + (P + P.T)
+        return K + (scale * P + scale * P.T)
     G = jax.lax.dot_general(B, B, (((1,), (1,)), ((), ())),
                             precision=prec)
     return K + (G if scale is None else scale * G)

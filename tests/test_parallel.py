@@ -174,9 +174,13 @@ def test_gram_run_fused_sharded_matches_single(mesh):
     bf = [t8.loss_vals[0]] + list(f8)
     assert all(b2 <= b1 + 1e-12 for b1, b2 in zip(bf, bf[1:]))
     # the sharded run's state kept its sharding through the packed
-    # correction reinjection (_apply_correction must not silently drop it)
+    # correction reinjection (_apply_correction must not silently drop
+    # it): the state must still be placed on the 8-device mesh, not
+    # collapsed to a single device
     sh = a8.state.Ax.sharding
-    assert getattr(sh, "mesh", None) is not None or sh is not None
+    assert getattr(sh, "mesh", None) is not None, (
+        f"state lost its mesh placement: {sh!r}")
+    assert len(a8.state.Ax.devices()) == len(mesh.devices.flat)
 
 
 def test_sharded_gather_columns_matches_dense(mesh):

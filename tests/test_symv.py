@@ -45,3 +45,29 @@ def test_pick_block_prefers_measured_order():
     assert _pick_block(2560) == 640
     assert _pick_block(256) == 256
     assert _pick_block(100) == 0  # unsupported shape
+
+
+def test_split_panel_accum_K_bitwise_symmetric():
+    """The SYMV kernel's premise is that K is EXACTLY symmetric, so
+    reading only the upper triangle loses nothing. The fp32 split-K
+    accumulate is the one site where that could silently break:
+    K + P + P.T parses as (K + P) + P.T, whose (i,j)/(j,i) sums
+    associate differently and drift ~1 ulp per panel. _panel_accum must
+    associate the symmetric pair first — this pins it bitwise over many
+    panel accumulations (the production fp32 HIGHEST route)."""
+    import jax
+    import jax.numpy as jnp
+
+    from krylov_crn_tpu.ops.gram import _panel_accum, _use_split
+
+    rng = np.random.default_rng(7)
+    n, cb = 256, 64
+    K = jnp.zeros((n, n), jnp.float32)
+    prec = jax.lax.Precision.HIGHEST
+    assert _use_split(jnp.zeros((1, 1), jnp.float32), prec)
+    for p in range(6):
+        B = jnp.asarray(rng.standard_normal((n, cb)), jnp.float32)
+        scale = None if p % 2 == 0 else jnp.float32(1.0)
+        K = _panel_accum(K, B, prec, scale=scale)
+    Kh = np.asarray(K)
+    assert np.array_equal(Kh, Kh.T), "split-K accumulate broke symmetry"

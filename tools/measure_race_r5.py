@@ -90,7 +90,7 @@ def run_once(name, chunk, warm_build, it_max):
     out["cross_t"] = round(cross_t, 3) if cross_t is not None else None
     out["ours_s"] = (round(out["build_s"] + cross_t, 3)
                      if cross_t is not None else None)
-    out["final_gap"] = f_best and fs[-1] - f_best
+    out["final_gap"] = fs[-1] - f_best  # fs non-empty (min(fs) above)
     return out
 
 

@@ -124,6 +124,30 @@ def _parse_computations(hlo: str):
     return comps
 
 
+def _call_graph(comps):
+    """Edges computation -> referenced computations (while body/cond,
+    fusion calls, to_apply)."""
+    edges = {n: set() for n in comps}
+    pat = re.compile(r"(?:body|condition|to_apply|calls)=%?([\w.\-]+)")
+    for cname, lines in comps.items():
+        for ln in lines:
+            for ref in pat.findall(ln):
+                if ref in comps:
+                    edges[cname].add(ref)
+    return edges
+
+
+def _reachable(edges, start):
+    seen, stack = set(), [start]
+    while stack:
+        c = stack.pop()
+        if c in seen:
+            continue
+        seen.add(c)
+        stack.extend(edges.get(c, ()))
+    return seen
+
+
 def runtime_collectives(hlo: str, m: int):
     """Per-ITERATION runtime collective count/bytes, loop-aware.
 
@@ -131,18 +155,37 @@ def runtime_collectives(hlo: str, m: int):
     while loop: the Lanczos scan body appears ONCE in text but executes
     m-1 times (round-4's 31-all-gather figure was a count of a program
     whose scan XLA had unrolled — correct then, wrong after any compile-
-    decision change). Here: collectives inside any non-entry computation
-    reached from a while are weighted by the Lanczos trip count m-1
-    (the only while in this program whose body contains collectives is
-    the Lanczos scan; secular-Newton/line-search loops are scalar-only —
-    asserted by construction below), entry-level collectives count
-    once."""
+    decision change). Weighting is by CALL-GRAPH attribution: a
+    collective inside a computation reachable from a while body/cond is
+    weighted by the Lanczos trip count m-1; collectives in the entry or
+    in called-once computations (fusions, conditional branches) count
+    once. If collectives appear under MORE than one distinct while, or
+    under nested whiles, trip-count attribution is ambiguous and this
+    raises instead of publishing a silently wrong budget (the docstring
+    of record for artifacts/scaling/collectives.json)."""
     comps = _parse_computations(hlo)
-    # entry = computation with the most instructions containing " ROOT "
-    # and reached by none — use the one named main* if present
     entry = next((n for n in comps if n.startswith("main")), None)
     assert entry is not None, "no main computation found in HLO"
-    body_names = set(comps) - {entry}
+    edges = _call_graph(comps)
+
+    # while instructions anywhere in the module, each with the set of
+    # computations reachable from its body+condition
+    bpat = re.compile(r"body=%?([\w.\-]+)")
+    cpat = re.compile(r"condition=%?([\w.\-]+)")
+    whiles = []  # [(label, reachable-scope set)]
+    for cname, lines in comps.items():
+        for ln in lines:
+            if " while(" not in ln and not ln.lstrip().startswith("while("):
+                continue
+            parts = [x for p in (bpat, cpat) for x in p.findall(ln)
+                     if x in comps]
+            if parts:
+                scope = set().union(*(_reachable(edges, x) for x in parts))
+                whiles.append((parts[0], scope))
+
+    pat = re.compile(
+        r"= (\([^)]*\)|\w+\[[0-9,]*\][^ ]*) (all-reduce|all-gather|"
+        r"reduce-scatter|collective-permute|all-to-all)\(")
     out = {}
 
     def add(op, bts, mult):
@@ -150,21 +193,36 @@ def runtime_collectives(hlo: str, m: int):
         ent["count"] += mult
         ent["bytes"] += bts * mult
 
-    pat = re.compile(
-        r"= (\([^)]*\)|\w+\[[0-9,]*\][^ ]*) (all-reduce|all-gather|"
-        r"reduce-scatter|collective-permute|all-to-all)\(")
+    loops_with_collectives = set()
     for cname, lines in comps.items():
-        mult = 1 if cname == entry else (m - 1)
+        covering = [lbl for lbl, scope in whiles if cname in scope]
         for ln in lines:
             mm = pat.search(ln)
-            if mm:
-                shape = mm.group(1)
-                if shape.startswith("("):
-                    b = sum(_shape_bytes(p) for p in
-                            re.findall(r"\w+\[[0-9,]*\][^ ,)]*", shape))
-                else:
-                    b = _shape_bytes(shape)
-                add(mm.group(2), b, mult)
+            if not mm:
+                continue
+            if len(set(covering)) > 1:
+                # nested whiles or multiple loops covering this comp:
+                # the true trip count is a product we cannot know from
+                # HLO text — refuse to publish a guessed budget
+                raise RuntimeError(
+                    f"collective in {cname} is reachable from whiles "
+                    f"{sorted(set(covering))} — ambiguous trip-count "
+                    "attribution")
+            loops_with_collectives.update(covering)
+            if len(loops_with_collectives) > 1:
+                # only ONE loop (the Lanczos scan, trip count m-1) may
+                # carry collectives; a second would need its own count
+                raise RuntimeError(
+                    "multiple collective-bearing loops: "
+                    f"{sorted(loops_with_collectives)}")
+            mult = (m - 1) if covering else 1
+            shape = mm.group(1)
+            if shape.startswith("("):
+                b = sum(_shape_bytes(p) for p in
+                        re.findall(r"\w+\[[0-9,]*\][^ ,)]*", shape))
+            else:
+                b = _shape_bytes(shape)
+            add(mm.group(2), b, mult)
     return out
 
 
