@@ -504,6 +504,44 @@ def _finalize_init(K, aux, ibuf, vdt, lr):
     return _finalize_state_flat(K, aux, ibuf, vdt, lr)
 
 
+def _dispatch_fused_build(packed, aux, ibuf_d, n_pad, vdt, lr, seg_p,
+                          dev):
+    """The fused build's dispatch plan — the EXACT sequence of jitted
+    programs (including static kwargs) build_gram_fused runs,
+    parameterized by the array source ``dev`` so warm_build_gram_fused
+    executes byte-identical jit cache entries over device-created
+    zeros. This is the single point of truth: a warm-up that diverges
+    structurally from the real build warms the WRONG cache entries and
+    silently re-pays ~0.4 s/program executable loads inside the timed
+    region (the failure mode documented on warm_fused,
+    solvers/krylov_gram.py)."""
+    precision = jax.lax.Precision.HIGHEST
+    Rf, CE, Vf, starts, lens, cb, cap, nblk = packed
+    Rd, Cd, Vd = dev(Rf), dev(CE), dev(Vf)
+    pidx = np.arange(nblk, dtype=np.int32)
+    bounds = list(range(0, nblk, seg_p))
+    if len(bounds) == 1:
+        return _scan_build_K_full(
+            Rd, Cd, Vd, dev(starts), dev(lens), dev(pidx),
+            aux, ibuf_d, prec=precision, cb=cb, cap=cap, npad=n_pad,
+            vdt=vdt, lr=lr)
+    K = None
+    for s in bounds[:-1]:
+        e = s + seg_p
+        st, ln, pi = dev(starts[s:e]), dev(lens[s:e]), dev(pidx[s:e])
+        if K is None:
+            K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln, pi,
+                                   prec=precision, cb=cb, cap=cap,
+                                   npad=n_pad)
+        else:
+            K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln, pi,
+                                  prec=precision, cb=cb, cap=cap)
+    s = bounds[-1]
+    return _scan_build_K_fin(
+        K, Rd, Cd, Vd, dev(starts[s:]), dev(lens[s:]), dev(pidx[s:]),
+        aux, ibuf_d, prec=precision, cb=cb, cap=cap, vdt=vdt, lr=lr)
+
+
 def build_gram_fused(A, b, x0, ibuf, dtype, vdt,
                      low_res_lanczos: bool | None = None,
                      seg_p: int = 64):
@@ -528,7 +566,6 @@ def build_gram_fused(A, b, x0, ibuf, dtype, vdt,
     from krylov_crn_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()
-    precision = jax.lax.Precision.HIGHEST
 
     Ax0 = np.zeros(n_pad, dtype)
     Ax0[:n] = A @ x0
@@ -543,36 +580,9 @@ def build_gram_fused(A, b, x0, ibuf, dtype, vdt,
 
     packed = _pack_flat_panels(A, n_pad, np.dtype(dtype))
     if packed is not None:
-        Rf, CE, Vf, starts, lens, cb, cap, nblk = packed
-        Rd, Cd, Vd = jnp.asarray(Rf), jnp.asarray(CE), jnp.asarray(Vf)
-        pidx = np.arange(nblk, dtype=np.int32)
-        bounds = list(range(0, nblk, seg_p))
-        if len(bounds) == 1:
-            out = _scan_build_K_full(
-                Rd, Cd, Vd, jnp.asarray(starts), jnp.asarray(lens),
-                jnp.asarray(pidx),
-                aux, ibuf_d, prec=precision, cb=cb, cap=cap, npad=n_pad,
-                vdt=jnp.dtype(vdt), lr=low_res_lanczos)
-        else:
-            K = None
-            for s in bounds[:-1]:
-                e = s + seg_p
-                st = jnp.asarray(starts[s:e])
-                ln = jnp.asarray(lens[s:e])
-                pi = jnp.asarray(pidx[s:e])
-                if K is None:
-                    K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln, pi,
-                                           prec=precision, cb=cb,
-                                           cap=cap, npad=n_pad)
-                else:
-                    K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln, pi,
-                                          prec=precision, cb=cb, cap=cap)
-            s = bounds[-1]
-            out = _scan_build_K_fin(
-                K, Rd, Cd, Vd, jnp.asarray(starts[s:]),
-                jnp.asarray(lens[s:]), jnp.asarray(pidx[s:]),
-                aux, ibuf_d, prec=precision,
-                cb=cb, cap=cap, vdt=jnp.dtype(vdt), lr=low_res_lanczos)
+        out = _dispatch_fused_build(packed, aux, ibuf_d, n_pad,
+                                    jnp.dtype(vdt), low_res_lanczos,
+                                    seg_p, jnp.asarray)
     else:
         K = _build_K_device(A, n_pad, np.dtype(dtype))
         out = _finalize_init(K, aux, ibuf_d, vdt=jnp.dtype(vdt),
@@ -610,45 +620,14 @@ def warm_build_gram_fused(A, dtype, vdt, low_res_lanczos: bool = False,
     from krylov_crn_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()
-    precision = jax.lax.Precision.HIGHEST
     packed = _pack_flat_panels(A, n_pad, np.dtype(dtype))
     if packed is None:
         return False
-    Rf, CE, Vf, starts, lens, cb, cap, nblk = packed
-    Rd = jnp.zeros(Rf.shape, Rf.dtype)
-    Cd = jnp.zeros(CE.shape, CE.dtype)
-    Vd = jnp.zeros(Vf.shape, Vf.dtype)
     aux = jnp.zeros((4, n_pad), np.dtype(dtype))
     ibuf = jnp.zeros(3 * n_pad + 3, np.dtype(dtype))
-    bounds = list(range(0, nblk, seg_p))
-    if len(bounds) == 1:
-        out = _scan_build_K_full(
-            Rd, Cd, Vd, jnp.zeros(starts.shape, starts.dtype),
-            jnp.zeros(lens.shape, lens.dtype),
-            jnp.zeros(nblk, jnp.int32), aux, ibuf,
-            prec=precision, cb=cb, cap=cap, npad=n_pad,
-            vdt=jnp.dtype(vdt), lr=low_res_lanczos)
-    else:
-        K = None
-        for s in bounds[:-1]:
-            e = s + seg_p
-            st = jnp.zeros(starts[s:e].shape, starts.dtype)
-            ln = jnp.zeros(lens[s:e].shape, lens.dtype)
-            pi = jnp.zeros(e - s, jnp.int32)
-            if K is None:
-                K = _scan_build_K_seg0(Rd, Cd, Vd, st, ln, pi,
-                                       prec=precision, cb=cb, cap=cap,
-                                       npad=n_pad)
-            else:
-                K = _scan_build_K_seg(K, Rd, Cd, Vd, st, ln, pi,
-                                      prec=precision, cb=cb, cap=cap)
-        s = bounds[-1]
-        out = _scan_build_K_fin(
-            K, Rd, Cd, Vd, jnp.zeros(starts[s:].shape, starts.dtype),
-            jnp.zeros(lens[s:].shape, lens.dtype),
-            jnp.zeros(nblk - s, jnp.int32), aux, ibuf,
-            prec=precision, cb=cb, cap=cap, vdt=jnp.dtype(vdt),
-            lr=low_res_lanczos)
+    out = _dispatch_fused_build(
+        packed, aux, ibuf, n_pad, jnp.dtype(vdt), low_res_lanczos,
+        seg_p, dev=lambda a: jnp.zeros(a.shape, a.dtype))
     # force completion (block_until_ready through the relay can return
     # early — PERF.md): fetch one scalar data-dependent on the build
     float(out[0][0, 0])
