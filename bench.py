@@ -43,11 +43,18 @@ import numpy as np
 M = 10
 GAP = 1e-8
 # iterations per device dispatch (also the exact fp64 correction cadence):
-# the m=10 run crosses the gap at it ~24-32 (measured r3/r4), so chunk=32
-# reaches it in ONE dispatch — each extra round trip risks the relay's
-# sporadic multi-second stalls (PERF.md round-4)
-CHUNK = 32
-OUR_IT_MAX = 64  # fp32 Gram m=10 crosses 1e-8 at it ~24-32 (measured r3)
+# the crossing lands a few iterations after the FIRST chunk-boundary
+# exact correction (PERF.md round 5), so an earlier boundary pulls the
+# crossing earlier: measured on the round-5 tree (rcv1, 3 reps each)
+# chunk=24 -> it 31 / 0.60 s, chunk=28 -> it 38 / 1.42 s, chunk=32 ->
+# it 37 / 0.68 s. The certified crossing needs a second dispatch either
+# way; 24 wins and stays under the it_max budget in 3 dispatches.
+CHUNK = 24
+# 48 = exactly TWO chunk dispatches: every dispatch is fresh exposure to
+# the relay's sporadic multi-second stalls (a 3-dispatch draw measured
+# rcv1 2.93 s where 2-dispatch draws run 1.4-1.6 s), and the certified
+# crossing sits at it ~31 — 17 iterations of margin
+OUR_IT_MAX = 48
 FSTAR_IT = 192  # m=20 benchmark run for the empirical f*
 REF_IT_MAX = 50  # reference crosses at it ~28-32 (cubic_newton.sh uses 50)
 REF_T_MAX = 300.0
