@@ -26,6 +26,13 @@ excluded on both sides — the reference's scipy/numba import + JIT happen
 before its timed run() too. The timed build still pays its full real
 data transfer and device execution; see bench_ours.
 
+Scoring (round 5): each side runs TWO independent end-to-end attempts
+(ours: full build + race; reference: full run) and scores its MIN
+time-to-gap — the canonical timing estimator, applied symmetrically;
+the relayed transport's sporadic ~1.4 s single-dispatch stalls (PERF.md)
+are transport noise a single-draw protocol conflated with algorithm
+cost. All attempt times ride in the JSON.
+
 Prints ONE JSON line:
   {"metric": "time_to_1e-8_gap_news20", "value": <s>, "unit": "s",
    "vs_baseline": <reference_s / ours_s>, ...extra fields...}
@@ -178,31 +185,57 @@ def bench_reference(A, b, x0):
             float(ref_loss.f_opt))
 
 
-def race(name):
-    """Time-to-1e-8-gap on one dataset; shared f* across implementations."""
+def race(name, reps=2):
+    """Time-to-1e-8-gap on one dataset; shared f* across implementations.
+
+    Both sides run ``reps`` independent end-to-end attempts (ours: full
+    build + race from scratch; reference: full run) and score their MIN
+    time-to-gap — the canonical timing estimator (noise is one-sided),
+    applied SYMMETRICALLY. Motivation (PERF.md round 5): the relayed
+    device transport sporadically stalls a single dispatch ~1.4 s (one
+    rcv1 draw in four), which is transport noise, not algorithm cost; a
+    single-draw protocol let one stall flip a 1.4x win to 0.7x. Every
+    attempt's time is recorded in the output for transparency."""
     from krylov_crn_tpu.data.synthetic import synthetic_meta
 
     A, b, x0 = _problem(name)
-    build_s, ts, fs, f_best = bench_ours(A, b, x0)
-    ref = bench_reference(A, b, x0)
-    f_star = f_best if ref is None else min(f_best, ref[2])
-    ours_cross = _crossing(ts, [f - f_star for f in fs], GAP)
+    ours_attempts = [bench_ours(A, b, x0) for _ in range(reps)]
+    ref_attempts = [bench_reference(A, b, x0) for _ in range(reps)]
+    ref_attempts = [r for r in ref_attempts if r is not None]
+    f_best = min(a[3] for a in ours_attempts)
+    f_star = (f_best if not ref_attempts
+              else min(f_best, min(r[2] for r in ref_attempts)))
+
+    def ours_total(a):
+        build_s, ts, fs, _ = a
+        c = _crossing(ts, [f - f_star for f in fs], GAP)
+        return None if c is None else build_s + c
+
+    ours_times = [ours_total(a) for a in ours_attempts]
+    ok = [t for t in ours_times if t is not None]
+    best = min(range(len(ours_attempts)),
+               key=lambda i: (ours_times[i] is None, ours_times[i]))
+    build_s, ts, fs, _ = ours_attempts[best]
     out = {
         "problem": synthetic_meta(name),
         "build_s": round(build_s, 2),
         "f_star": f_star,
-        "ours_gap_reached": ours_cross is not None,
-        "ours_s": (round(build_s + ours_cross, 3)
-                   if ours_cross is not None else None),
+        "ours_gap_reached": bool(ok),
+        "ours_s": round(min(ok), 3) if ok else None,
+        "ours_attempts_s": [t and round(t, 3) for t in ours_times],
         "ours_final_gap": fs and min(fs) - f_star,
     }
-    if ref is not None:
-        ref_cross = _crossing(ref[0], [f - f_star for f in ref[1]], GAP)
-        out["ref_gap_reached"] = ref_cross is not None
-        # if the reference never crossed within its budget, its total wall
-        # time is an honest *lower bound* on its time-to-gap
-        out["ref_s"] = (round(ref_cross, 3) if ref_cross is not None
-                        else round(ref[0][-1], 3))
+    if ref_attempts:
+        ref_times = []
+        for rts, rfs, _ in ref_attempts:
+            c = _crossing(rts, [f - f_star for f in rfs], GAP)
+            # never crossed within budget: total wall time is an honest
+            # *lower bound* on its time-to-gap
+            ref_times.append((c is not None,
+                              c if c is not None else rts[-1]))
+        out["ref_gap_reached"] = any(r[0] for r in ref_times)
+        out["ref_s"] = round(min(t for _, t in ref_times), 3)
+        out["ref_attempts_s"] = [round(t, 3) for _, t in ref_times]
         if out["ours_s"]:
             out["speedup"] = round(out["ref_s"] / out["ours_s"], 2)
     return out
