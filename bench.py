@@ -55,7 +55,8 @@ GAP = 1e-8
 # crossing earlier: measured on the round-5 tree (rcv1, 3 reps each)
 # chunk=24 -> it 31 / 0.60 s, chunk=28 -> it 38 / 1.42 s, chunk=32 ->
 # it 37 / 0.68 s. The certified crossing needs a second dispatch either
-# way; 24 wins and stays under the it_max budget in 3 dispatches.
+# way; 24 wins, and OUR_IT_MAX below keeps the race to exactly TWO
+# dispatches.
 CHUNK = 24
 # 48 = exactly TWO chunk dispatches: every dispatch is fresh exposure to
 # the relay's sporadic multi-second stalls (a 3-dispatch draw measured
@@ -188,14 +189,19 @@ def bench_reference(A, b, x0):
 def race(name, reps=2):
     """Time-to-1e-8-gap on one dataset; shared f* across implementations.
 
-    Both sides run ``reps`` independent end-to-end attempts (ours: full
-    build + race from scratch; reference: full run) and score their MIN
-    time-to-gap — the canonical timing estimator (noise is one-sided),
-    applied SYMMETRICALLY. Motivation (PERF.md round 5): the relayed
-    device transport sporadically stalls a single dispatch ~1.4 s (one
-    rcv1 draw in four), which is transport noise, not algorithm cost; a
-    single-draw protocol let one stall flip a 1.4x win to 0.7x. Every
-    attempt's time is recorded in the output for transparency."""
+    Both sides run ``reps`` end-to-end attempts IN THIS PROCESS (ours:
+    full build + race, re-transferring and re-executing everything;
+    reference: full run) and score their MIN time-to-gap — the
+    canonical timing estimator, applied symmetrically. The attempts are
+    not i.i.d.: ours' attempt 1 pays the transport's one-time
+    first-large-transfer warm-up (~1.5-2 s, PERF.md round 5) on top of
+    sporadic ~1.4 s dispatch stalls, so the min is structurally the
+    steady-state attempt — which is the point: that warm-up is session
+    overhead of the relay link, the same class as the ~12 s client init
+    and the per-program executable loads already excluded on both
+    sides. The reference's attempts are flat (host scipy has no such
+    effect), so min-of-reps leaves its score unchanged. Every attempt's
+    time and crossed-status is recorded in the output."""
     from krylov_crn_tpu.data.synthetic import synthetic_meta
 
     A, b, x0 = _problem(name)
@@ -212,30 +218,35 @@ def race(name, reps=2):
         return None if c is None else build_s + c
 
     ours_times = [ours_total(a) for a in ours_attempts]
-    ok = [t for t in ours_times if t is not None]
     best = min(range(len(ours_attempts)),
                key=lambda i: (ours_times[i] is None, ours_times[i]))
-    build_s, ts, fs, _ = ours_attempts[best]
+    best_t = ours_times[best]
+    build_s, _, fs, _ = ours_attempts[best]
     out = {
         "problem": synthetic_meta(name),
         "build_s": round(build_s, 2),
         "f_star": f_star,
-        "ours_gap_reached": bool(ok),
-        "ours_s": round(min(ok), 3) if ok else None,
-        "ours_attempts_s": [t and round(t, 3) for t in ours_times],
+        "ours_gap_reached": best_t is not None,
+        "ours_s": round(best_t, 3) if best_t is not None else None,
+        "ours_attempts_s": [round(t, 3) if t is not None else None
+                            for t in ours_times],
         "ours_final_gap": fs and min(fs) - f_star,
     }
     if ref_attempts:
         ref_times = []
         for rts, rfs, _ in ref_attempts:
             c = _crossing(rts, [f - f_star for f in rfs], GAP)
-            # never crossed within budget: total wall time is an honest
-            # *lower bound* on its time-to-gap
             ref_times.append((c is not None,
                               c if c is not None else rts[-1]))
-        out["ref_gap_reached"] = any(r[0] for r in ref_times)
-        out["ref_s"] = round(min(t for _, t in ref_times), 3)
-        out["ref_attempts_s"] = [round(t, 3) for _, t in ref_times]
+        crossed = [t for did, t in ref_times if did]
+        out["ref_gap_reached"] = bool(crossed)
+        # score only attempts that actually crossed; if NONE did, the
+        # tightest honest statement is the MAX of the attempts' total
+        # wall times — each is a lower bound on its time-to-gap
+        out["ref_s"] = round(min(crossed) if crossed
+                             else max(t for _, t in ref_times), 3)
+        out["ref_attempts"] = [
+            {"s": round(t, 3), "crossed": did} for did, t in ref_times]
         if out["ours_s"]:
             out["speedup"] = round(out["ref_s"] / out["ours_s"], 2)
     return out
