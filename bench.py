@@ -278,7 +278,30 @@ def kmatvec_roofline(n=20480):
 
     sec = device_time_per_call(make_chained, (K, w), k1=2, k2=18)
     gbps = (n * n * 4) / sec / 1e9
-    return round(gbps, 1), round(roofline_fraction(n * n * 4, sec), 3)
+    out = (round(gbps, 1), round(roofline_fraction(n * n * 4, sec), 3))
+
+    # the op the solvers actually dispatch on fp32 TPU: the
+    # upper-triangle SYMV Pallas kernel (ops/symv.py) — streams only
+    # n(n+1)/2 elements, so its EFFECTIVE full-matvec bandwidth
+    # (n^2*4B / t) can exceed the naive HBM roofline
+    from krylov_crn_tpu.ops.symv import symv, symv_supported
+
+    if not symv_supported(n, jnp.float32):
+        return (*out, None, None)
+
+    def make_chained_symv(k):
+        @jax.jit
+        def f(K, w):
+            def body(v, _):
+                v = symv(K, v)
+                return v / jnp.linalg.norm(v), ()
+            v, _ = jax.lax.scan(body, w, None, length=k)
+            return v[0]
+        return f
+
+    ssec = device_time_per_call(make_chained_symv, (K, w), k1=2, k2=18)
+    eff = (n * n * 4) / ssec / 1e9
+    return (*out, round(ssec * 1e3, 3), round(eff, 1))
 
 
 def coo_hvp_nnz_per_s(name="rcv1-like"):
@@ -319,7 +342,7 @@ def main():
     float(jnp.zeros(8)[0])
     res_news = race("news20-like")
     res_rcv1 = race("rcv1-like")
-    gbps, frac = kmatvec_roofline()
+    gbps, frac, symv_ms, symv_eff = kmatvec_roofline()
     coo = coo_hvp_nnz_per_s()
     out = {
         "metric": "time_to_1e-8_gap_news20",
@@ -330,6 +353,8 @@ def main():
         "rcv1": res_rcv1,
         "kmatvec_gbps": gbps,
         "kmatvec_roofline_frac": frac,
+        "symv_ms": symv_ms,
+        "symv_effective_gbps": symv_eff,
         "coo_hvp_mnnz_per_s": coo,
         "gap_target": GAP,
     }
